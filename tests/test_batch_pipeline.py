@@ -1,0 +1,138 @@
+"""End-to-end batch tests: extract byte-identity, detect vs golden,
+flagship window aggregation vs golden — all via Spark, all
+partitioning-invariant."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from watermark_detector_spark.functions.domains import registrable_domain
+from watermark_detector_spark.functions.extract import extract_text_udf
+from watermark_detector_spark.plans.flagship import (
+    detected_pages,
+    flagship_batch,
+    kept_detections,
+)
+from watermark_detector_spark.sources.pages import read_pages_batch
+
+
+def _norm_windows(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[
+        ["domain", "window_start", "window_end", "n_docs", "n_detections",
+         "avg_score", "n_watermark", "n_text"]
+    ].copy()
+    for c in ("n_docs", "n_detections", "n_watermark", "n_text"):
+        df[c] = df[c].astype("int64")
+    for c in ("window_start", "window_end"):
+        df[c] = pd.to_datetime(df[c])
+    return df.sort_values(["domain", "window_start"]).reset_index(drop=True)
+
+
+def test_extract_byte_identity(spark, fixture_paths):
+    """input_hint invariant: extracted text bytes == pinned golden bytes,
+    per url, joined by key (never by position — the reference's
+    positional alignment, train_watermarks.py:38-48, is what we fix)."""
+    pages = read_pages_batch(spark, fixture_paths["pages"])
+    extracted = pages.select(
+        "url", F.encode(extract_text_udf("html"), "UTF-8").alias("got_bytes")
+    )
+    golden = spark.read.parquet(fixture_paths["golden_extract"])
+    cmp = extracted.join(golden, "url", "full_outer").select(
+        "url",
+        (F.col("got_bytes") == F.col("text_bytes")).alias("same"),
+    )
+    rows = cmp.collect()
+    assert len(rows) == 2000
+    assert all(r["same"] for r in rows)
+
+
+def test_detections_match_golden(spark, fixture_cfg, fixture_paths):
+    """Every detection (including below-threshold ones) matches the
+    splice-log golden exactly: sig_id, category, begin, end, score."""
+    pages = read_pages_batch(spark, fixture_paths["pages"])
+    det = detected_pages(pages, fixture_cfg.signatures)
+    exploded = det.select("url", F.explode("detections").alias("d")).select(
+        "url", "d.sig_id", "d.category", "d.begin", "d.end", "d.score"
+    )
+    got = exploded.toPandas().sort_values(["url", "begin", "sig_id"]).reset_index(drop=True)
+    want = (
+        spark.read.parquet(fixture_paths["golden_detections"])
+        .select("url", "sig_id", "category", "begin", "end", "score")
+        .toPandas()
+        .sort_values(["url", "begin", "sig_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"sig_id": "int64", "begin": "int64", "end": "int64"}),
+        want.astype({"sig_id": "int64", "begin": "int64", "end": "int64"}),
+        check_exact=False,
+        atol=1e-12,
+    )
+
+
+def test_threshold_filter_drops_below(spark, fixture_cfg, fixture_paths):
+    pages = read_pages_batch(spark, fixture_paths["pages"])
+    kept = kept_detections(detected_pages(pages, fixture_cfg.signatures))
+    n_kept = kept.count()
+    golden = spark.read.parquet(fixture_paths["golden_detections"])
+    n_golden_kept = golden.where(~F.col("below_threshold")).count()
+    n_golden_all = golden.count()
+    assert n_kept == n_golden_kept
+    assert n_golden_kept < n_golden_all  # fixtures do exercise the filter
+
+
+def test_flagship_batch_vs_golden(spark, fixture_cfg, fixture_paths):
+    pages = read_pages_batch(spark, fixture_paths["pages"])
+    res = _norm_windows(flagship_batch(pages, fixture_cfg.signatures).toPandas())
+    gold = _norm_windows(pd.read_parquet(fixture_paths["golden_windows"]))
+    assert res.shape == gold.shape
+    for c in ["domain", "window_start", "window_end", "n_docs",
+              "n_detections", "n_watermark", "n_text"]:
+        assert (res[c] == gold[c]).all(), c
+    assert np.allclose(res["avg_score"].astype(float),
+                       gold["avg_score"].astype(float), atol=1e-9)
+
+
+def test_partitioning_invariance(spark, fixture_cfg, fixture_paths):
+    """Same result at 1 and 16 partitions — the property the reference
+    lacks (its output depends on listing order + unseeded RNG)."""
+    pages = read_pages_batch(spark, fixture_paths["pages"])
+    a = flagship_batch(pages.repartition(1), fixture_cfg.signatures).toPandas()
+    b = flagship_batch(pages.repartition(16), fixture_cfg.signatures).toPandas()
+    a, b = _norm_windows(a), _norm_windows(b)
+    pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-9)
+
+
+def test_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.example.com/p/1", "example.com"),
+            ("https://news.site001.co.uk/p/2", "site001.co.uk"),
+            ("https://a.b.c.deep.example.org/x", "example.org"),
+            ("https://example.com/", "example.com"),
+            ("https://sub.ac.uk/x", "sub.ac.uk"),
+        ],
+        ["url", "want"],
+    )
+    got = df.select("want", registrable_domain(F.col("url")).alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["want"], r["got"])
+
+
+def test_plan_prunes_and_partial_aggregates(spark, fixture_cfg, fixture_paths):
+    """Scale assertions on the physical plan (SURVEY.md §4):
+    - scan column pruning: the parquet scan must NOT read the `text`
+      column (flagship re-derives it from html; reading both would double
+      the scan bytes at 100 TB);
+    - partial aggregation: two HashAggregate stages around one Exchange
+      (map-side combine before the shuffle)."""
+    pages = read_pages_batch(spark, fixture_paths["pages"])
+    plan = flagship_batch(pages, fixture_cfg.signatures)._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "text" not in read_schema[0]
+    assert "html" in read_schema[0]
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan

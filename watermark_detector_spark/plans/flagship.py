@@ -1,0 +1,144 @@
+"""The flagship pipeline: pages → extract → detect → filter(score>=0.5)
+→ per-domain tumbling-window aggregation.
+
+This is the engine's analog of the reference's inference + evaluation
+loop (scan → predict → threshold → aggregate,
+train_watermarks.py:317-330 + 302-305), declared once as a DataFrame
+plan so the SAME code runs in batch and under Structured Streaming
+(batch proves semantics with zero streaming risk; streaming adds the
+watermark — SURVEY.md §7 steps 4-5).
+
+Scale notes (100 TB posture):
+- ``html`` is dropped the instant text is extracted (column pruning:
+  the binary payload never crosses a shuffle).
+- the two pandas UDFs are the only Python in the plan; everything else
+  is JVM/codegen.
+- the aggregation shuffles on (domain, window) — partial aggregation
+  (map-side combine) happens automatically; skew from head domains is
+  handled by AQE + the salted variant in operators/skew.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import SCORE_THRESHOLD, Signature
+from ..functions.detect import make_detect_udf
+from ..functions.domains import registrable_domain
+from ..functions.extract import extract_text_udf
+
+
+def detected_pages(pages: DataFrame, signatures: list[Signature],
+                   from_html: bool = True) -> DataFrame:
+    """pages → (url, domain, warc_ts, lang, detections). The detection
+    spine shared by every downstream query."""
+    detect_udf = make_detect_udf(signatures)
+    df = pages
+    if from_html:
+        df = df.withColumn("text", extract_text_udf(F.col("html"))).drop("html")
+    return df.select(
+        "url",
+        registrable_domain(F.col("url")).alias("domain"),
+        "warc_ts",
+        "lang",
+        detect_udf(F.col("text")).alias("detections"),
+    )
+
+
+def kept_detections(detected: DataFrame) -> DataFrame:
+    """Explode the detections array and apply the >=0.5 keep filter
+    (train_watermarks.py:311). Pages with no kept detection vanish here."""
+    return (
+        detected.select(
+            "url", "domain", "warc_ts", "lang",
+            F.explode("detections").alias("d"),
+        )
+        .select(
+            "url", "domain", "warc_ts", "lang",
+            F.col("d.sig_id").alias("sig_id"),
+            F.col("d.category").alias("category"),
+            F.col("d.begin").alias("begin"),
+            F.col("d.end").alias("end"),
+            F.col("d.score").alias("score"),
+        )
+        .where(F.col("score") >= F.lit(SCORE_THRESHOLD))
+    )
+
+
+def window_agg(kept: DataFrame, window: str = "1 minute",
+               slide: str | None = None, watermark: str | None = None) -> DataFrame:
+    """Tumbling (or sliding) per-domain window aggregation.
+
+    With ``watermark`` set (streaming), state for a window is dropped
+    once the event-time watermark passes its end; late rows beyond it
+    are discarded — the engine's late-data-drop contract."""
+    df = kept
+    if watermark:
+        df = df.withWatermark("warc_ts", watermark)
+    win = F.window("warc_ts", window, slide) if slide else F.window("warc_ts", window)
+    return (
+        df.groupBy(win.alias("window"), "domain")
+        .agg(
+            F.approx_count_distinct("url").alias("n_docs_approx"),
+            F.countDistinct("url").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_detections"),
+            F.avg("score").alias("avg_score"),
+            F.sum(F.when(F.col("category") == "watermark", 1).otherwise(0)).alias("n_watermark"),
+            F.sum(F.when(F.col("category") == "text", 1).otherwise(0)).alias("n_text"),
+        )
+        .select(
+            "domain",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_docs",
+            "n_detections",
+            "avg_score",
+            "n_watermark",
+            "n_text",
+        )
+    )
+
+
+def flagship_batch(pages: DataFrame, signatures: list[Signature],
+                   window: str = "1 minute", from_html: bool = True) -> DataFrame:
+    return window_agg(
+        kept_detections(detected_pages(pages, signatures, from_html=from_html)),
+        window=window,
+    )
+
+
+def flagship_stream(pages_stream: DataFrame, signatures: list[Signature],
+                    window: str = "1 minute", watermark: str = "10 minutes",
+                    from_html: bool = True) -> DataFrame:
+    """Same plan under readStream + event-time watermark.
+
+    Note: streaming distinct-count per window isn't supported, so the
+    streaming variant counts docs exactly via a pre-dedup on
+    (url, window) being unnecessary here — each url contributes one row
+    per (sig region), and n_docs is computed by the sink-side batch
+    finalize in foreachBatch when exact distinct counts are required.
+    Here we emit count + approx_count_distinct, which IS
+    streaming-supported."""
+    df = kept_detections(detected_pages(pages_stream, signatures, from_html=from_html))
+    df = df.withWatermark("warc_ts", watermark)
+    return (
+        df.groupBy(F.window("warc_ts", window).alias("window"), "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_detections"),
+            F.avg("score").alias("avg_score"),
+            F.sum(F.when(F.col("category") == "watermark", 1).otherwise(0)).alias("n_watermark"),
+            F.sum(F.when(F.col("category") == "text", 1).otherwise(0)).alias("n_text"),
+            F.approx_count_distinct("url").alias("n_docs_approx"),
+        )
+        .select(
+            "domain",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_detections",
+            "avg_score",
+            "n_watermark",
+            "n_text",
+            "n_docs_approx",
+        )
+    )

@@ -1,0 +1,70 @@
+"""SparkSession builder with the engine's config profile.
+
+The profile encodes the scale posture (SURVEY.md §4): AQE on (runtime
+re-planning + skew-join splitting + partition coalescing), Arrow enabled
+for every pandas-UDF boundary, shuffle partitions sized to the local
+core count (on a real cluster this would be ~2-3x total executor cores),
+and UTC timestamps so event-time semantics are timezone-stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (local[32], 128 GiB); on a real cluster
+# these come from spark-submit --conf and the same builder applies them.
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def engine_conf(cpus: int = DEFAULT_CPUS) -> dict[str, str]:
+    """The engine's config profile as a plain dict (testable, inspectable)."""
+    return {
+        # --- planner / runtime re-planning ---
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # --- shuffle sizing: ~cores in local mode; cluster would use 2-3x cores
+        "spark.sql.shuffle.partitions": str(max(cpus, 4)),
+        # --- Arrow boundary for pandas UDFs (extract/detect hot path) ---
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+        # --- event-time stability ---
+        "spark.sql.session.timeZone": "UTC",
+        # --- scan sizing: partitions that fit executor memory at scale ---
+        "spark.sql.files.maxPartitionBytes": "128m",
+        # --- streaming state store: RocksDB when the build ships it;
+        #     semantics are identical with the default HDFS-backed provider,
+        #     so tests pass either way (SURVEY.md §7 step 6 hard part e).
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.forceDeleteTempCheckpointLocation": "true",
+    }
+
+
+def get_spark(
+    app_name: str = "watermark_detector_spark",
+    cpus: int = DEFAULT_CPUS,
+    extra_conf: dict[str, str] | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    local mode in the sandbox; on a cluster, master/memory come from
+    spark-submit and only the profile confs below apply.
+    """
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = engine_conf(cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
+    builder = builder.config("spark.ui.enabled", "false")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

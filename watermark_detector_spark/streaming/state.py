@@ -1,0 +1,169 @@
+"""Custom stateful operators over the Structured Streaming state store.
+
+The reference's only stateful computation is the running-min validation
+loss that triggers a best-model checkpoint (train_watermarks.py:127,
+161-163). Its engine analog: per-domain running state via
+``applyInPandasWithState`` — arbitrary state schema, watermark-aware
+timeouts, RocksDB-backed when the provider is configured
+(session.engine_conf).
+
+Two operators:
+- ``track_best``   — per-domain running best score + totals; emits a
+  commit record only on improvement (checkpoint-on-improve analog).
+- ``session_stats`` — per-domain session aggregation with event-time
+  timeout (the reference's dilation-gap region merging,
+  train_watermarks.py:65-67, lifted to event time).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+BEST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType(), False),
+        T.StructField("best_score", T.DoubleType(), False),
+        T.StructField("n_improvements", T.LongType(), False),
+        T.StructField("n_seen", T.LongType(), False),
+    ]
+)
+BEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("best_score", T.DoubleType(), True),
+        T.StructField("n_improvements", T.LongType(), True),
+        T.StructField("n_seen", T.LongType(), True),
+    ]
+)
+
+
+def _track_best_fn(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running best (max) score per domain; emit only on improvement —
+    the analog of `if mean_loss < best: save('best_model')`
+    (train_watermarks.py:161-163), with max-score instead of min-loss."""
+    (domain,) = key
+    if state.exists:
+        best, n_impr, n_seen = state.get
+    else:
+        best, n_impr, n_seen = float("-inf"), 0, 0
+    improved = False
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        n_seen += len(pdf)
+        batch_max = float(pdf["score"].max())
+        if batch_max > best:
+            best = batch_max
+            n_impr += 1
+            improved = True
+    state.update((best, n_impr, n_seen))
+    if improved:
+        yield pd.DataFrame(
+            [{"domain": domain, "best_score": best,
+              "n_improvements": n_impr, "n_seen": n_seen}]
+        )
+
+
+def track_best(kept: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """kept detections stream → per-domain improvement records."""
+    return (
+        kept.withWatermark("warc_ts", watermark)
+        .groupBy("domain")
+        .applyInPandasWithState(
+            _track_best_fn,
+            outputStructType=BEST_OUTPUT_SCHEMA,
+            stateStructType=BEST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("n_detections", T.LongType(), False),
+        T.StructField("max_score", T.DoubleType(), False),
+    ]
+)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("end_us", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("max_score", T.DoubleType(), True),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _session_fn_factory(gap_s: int):
+    gap_us = gap_s * _US
+
+    def _fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (domain,) = key
+        out: list[dict[str, Any]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, mx = state.get
+                out.append({"domain": domain,
+                            "session_start": pd.Timestamp(s, unit="us"),
+                            "session_end": pd.Timestamp(e + gap_us, unit="us"),
+                            "n_detections": n, "max_score": mx})
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+        if state.exists:
+            s, e, n, mx = state.get
+        else:
+            s, e, n, mx = None, None, 0, float("-inf")
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("warc_ts")
+        for ts, score in zip(rows["warc_ts"], rows["score"]):
+            t = int(pd.Timestamp(ts).value // 1000)  # ns → us
+            if s is None:
+                s, e, n, mx = t, t, 1, float(score)
+            elif t - e <= gap_us:
+                e, n, mx = max(e, t), n + 1, max(mx, float(score))
+            else:
+                out.append({"domain": domain,
+                            "session_start": pd.Timestamp(s, unit="us"),
+                            "session_end": pd.Timestamp(e + gap_us, unit="us"),
+                            "n_detections": n, "max_score": mx})
+                s, e, n, mx = t, t, 1, float(score)
+        state.update((s, e, n, mx))
+        # close the open session when no event arrives within the gap
+        state.setTimeoutTimestamp(e // 1000 + gap_s * 1000)  # ms epoch
+        if out:
+            yield pd.DataFrame(out)
+
+    return _fn
+
+
+def session_stats(kept: DataFrame, gap: str = "5 minutes",
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Custom sessionization via the state store (EventTimeTimeout) —
+    the hand-rolled equivalent of ``F.session_window`` demonstrating
+    applyInPandasWithState with timeouts; ``operators.windows`` exposes
+    the built-in variant."""
+    gap_s = int(gap.split()[0]) * (60 if "minute" in gap else 1)
+    return (
+        kept.withWatermark("warc_ts", watermark)
+        .groupBy("domain")
+        .applyInPandasWithState(
+            _session_fn_factory(gap_s),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
