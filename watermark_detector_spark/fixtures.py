@@ -227,6 +227,24 @@ def gen_doc(doc_id: int, cfg: FixtureConfig, domains: list[str]) -> dict:
     }
 
 
+def _flush_doc(cfg: FixtureConfig, domains: list[str]) -> dict:
+    """Stream-end sentinel: a page whose (kept) detection advances the
+    event-time watermark past every real window. warc_ts is far beyond
+    the fixture span so its own window can never collide with goldens."""
+    sig = cfg.signatures[0]
+    prefix = "lorem ipsum "
+    text = prefix + sig.pattern + " dolor"
+    ts = BASE_TS + timedelta(seconds=cfg.span_s + 3 * cfg.watermark_delay_s)
+    url = f"https://www.{domains[0]}/flush/0"
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": render_html(url, -1, text, "en"),
+        "text": text,
+        "lang": "en",
+    }
+
+
 # ---------------------------------------------------------------------------
 # Golden-table derivation (from the splice log — never from the detector)
 # ---------------------------------------------------------------------------
@@ -335,6 +353,18 @@ def generate(cfg: FixtureConfig, out_dir: str) -> dict[str, str]:
         fp = os.path.join(stream_dir, f"batch_{b:04d}.parquet")
         _us(part).to_parquet(fp, index=False)
         os.utime(fp, (1700000000 + b, 1700000000 + b))  # deterministic order
+
+    # final "flush" batch: one far-future page with a kept detection.
+    # In append mode a window is only emitted once the watermark passes
+    # its end; this row pushes the watermark past every real window so a
+    # finite availableNow run emits them all. Its OWN window stays in
+    # state forever → it appears in no golden (stream-only sentinel).
+    flush = _flush_doc(cfg, domains)
+    fp = os.path.join(stream_dir, f"batch_{cfg.n_batches:04d}.parquet")
+    _us(
+        pd.DataFrame([{k: flush[k] for k in ("url", "warc_ts", "html", "text", "lang")}])
+    ).to_parquet(fp, index=False)
+    os.utime(fp, (1700000000 + cfg.n_batches, 1700000000 + cfg.n_batches))
 
     sigs = pd.DataFrame(
         [
