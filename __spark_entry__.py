@@ -1,38 +1,725 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship detection pipeline over sf0.001 documents.
+``queries``    — one entry per implemented operator family (SURVEY.md §2
+                 + the training-data-pipeline operators: dedup,
+                 similarity search, text analysis, multimodal plumbing).
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents; streaming /
+                 stateful / UDF-stub queries are intentionally omitted
+                 (rows-only check).
+
+Column-name and type discipline (driver hashes values after sorting
+columns by name): every computed column is aliased identically on both
+sides; counts are BIGINT, money/score aggregates are ROUND(x, n)
+doubles, timestamps are formatted as 'yyyy-MM-dd HH:mm:ss' strings.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from watermark_detector_spark.functions.core import Signature
+from watermark_detector_spark.functions.detect import make_detect_udf
+from watermark_detector_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+)
+from watermark_detector_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    quality_score,
+    stopword_hits,
+    token_count,
+)
+from watermark_detector_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_signatures,
+    simhash,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# Signatures for entry(): testdata-vocabulary phrases (the `documents`
+# table is the pages.text stand-in per FIXTURES.md §6).
+_ENTRY_SIGS = [
+    Signature(0, "key agg row", "watermark", 0.9, 0),
+    Signature(1, "slow fast table", "text", 0.8, 0),
+    Signature(2, "window spark order", "watermark", 0.7, 0),
+    Signature(3, "batch window spark", "text", 0.85, 0),
+]
+
+
+def _documents_as_pages(docs: DataFrame) -> DataFrame:
+    """documents → pages shape: synthetic url/warc_ts from stable keys."""
+    return docs.select(
+        F.concat(F.lit("https://www."), F.col("source"), F.lit(".com/doc/"),
+                 F.col("doc_id")).alias("url"),
+        (F.to_timestamp(F.lit("2025-02-17 00:00:00"))
+         + F.make_dt_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: detect signature phrases in sf0.001 documents, keep
+    score>=0.5, aggregate per (source-domain, 1-minute window)."""
+    from watermark_detector_spark.plans.flagship import flagship_batch
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pages = _documents_as_pages(docs)
+    return flagship_batch(pages, _ENTRY_SIGS, from_html=False)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+def _q01_filter_project(spark, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+            "l_returnflag",
+        )
+    )
+
+
+def _q02_groupby_agg(spark, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_net"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q03_join_agg(spark, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _q04_topk(spark, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+def _q05_rank_window(spark, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    p = _t(spark, sf, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rn")
+    )
+
+
+def _q06_union_distinct(spark, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.where(F.col("o_totalprice") > 400000).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b).distinct()
+
+
+def _q07_semi_join(spark, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def _q08_anti_join(spark, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _q09_time_window_agg(spark, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("minute", F.col("ts")), _TS_FMT_SPARK).alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def _q10_sessionize(spark, sf: str) -> DataFrame:
+    _t(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(f"""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        s AS (
+          SELECT user_id, ts, event_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM e)
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               date_format(MIN(ts), '{_TS_FMT_SPARK}') AS session_start,
+               date_format(MAX(ts), '{_TS_FMT_SPARK}') AS session_end
+        FROM s GROUP BY user_id, sess_id
+    """)
+
+
+def _q11_running_min(spark, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.min("value").over(w), 4).alias("running_min"),
+    )
+
+
+def _q12_token_count(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def _q13_quality(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        stopword_hits(F.col("text")).alias("stop_hits"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q14_lang_guess(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def _q15_fingerprint(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.md5(F.substring(F.col("text"), 1, 64).cast("binary")).alias("fp_head"),
+    )
+
+
+def _q16_dedup_exact(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return exact_dup_groups(d)
+
+
+def _q17_jaccard_pairs(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return jaccard_pairs(d, threshold=0.5)
+
+
+def _q18_minhash_sigs(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return minhash_signatures(d, n_bands=4).select(
+        "doc_id", F.col("band").cast("bigint").alias("band"), "minhash"
+    )
+
+
+def _q19_simhash(spark, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return simhash(d, n_bits=16)
+
+
+def _q20_cosine_pairs(spark, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    return cosine_pairs(e, threshold=0.45)
+
+
+def _q21_ann_topk(spark, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    return brute_force_topk(e, k=3, n_queries=10)
+
+
+def _q22_lsh_candidates(spark, sf: str) -> DataFrame:
+    from watermark_detector_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_candidates(d, n_bands=4)
+
+
+_PHRASES = ["key agg row", "slow fast table"]
+
+
+def _q23_detect_hits(spark, sf: str) -> DataFrame:
+    """SQL-expressible detector analog: literal phrase occurrence counts
+    per doc, thresholded, aggregated per source (the P1+A1 shape the
+    pandas-UDF detector implements on pages; here in pure SQL so DuckDB
+    can oracle it)."""
+    d = _t(spark, sf, "documents")
+    hits = None
+    for p in _PHRASES:
+        h = (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(p), F.lit(""))))
+            / len(p)
+        ).cast("bigint")
+        hits = h if hits is None else hits + h
+    per_doc = d.select("doc_id", "source", hits.alias("n_hits"))
+    return per_doc.groupBy("source").agg(
+        F.sum("n_hits").cast("bigint").alias("n_detections"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).cast("bigint").alias("n_docs_hit"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming / stateful / UDF-stub queries (rows-only check; no oracle)
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark, sf: str):
+    """Replay events.parquet as a file stream (tmp copy: file sources
+    need a directory; ts cast to TIMESTAMP for event-time ops)."""
+    e = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tempfile.mkdtemp(prefix="wmd_events_stream_")
+    e.write.mode("overwrite").parquet(os.path.join(d, "data"))
+    return spark.readStream.schema(e.schema).parquet(os.path.join(d, "data")), d
+
+
+def _run_to_memory(stream_df, name: str, output_mode: str) -> None:
+    ckpt = tempfile.mkdtemp(prefix="wmd_ckpt_")
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _q24_stream_tumbling(spark, sf: str) -> DataFrame:
+    """Streaming tumbling-window aggregation with event-time watermark
+    (append mode) — the flagship streaming operator on driver tables."""
+    src, tmp = _events_stream(spark, sf)
+    name = "wmd_q24_" + uuid.uuid4().hex[:8]
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.date_format(F.col("win.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type", "n_events", "avg_value",
+        )
+    )
+    _run_to_memory(agg, name, "append")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+def _q25_stateful_best(spark, sf: str) -> DataFrame:
+    """applyInPandasWithState running-best per event_type (the
+    checkpoint-on-improve analog, train_watermarks.py:161-163)."""
+    from watermark_detector_spark.streaming.state import track_best
+
+    src, tmp = _events_stream(spark, sf)
+    kept = src.select(
+        F.col("event_type").alias("domain"),
+        F.col("value").alias("score"),
+        F.col("ts").alias("warc_ts"),
+    )
+    name = "wmd_q25_" + uuid.uuid4().hex[:8]
+    _run_to_memory(track_best(kept), name, "update")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.sql(
+        f"SELECT domain, max(best_score) AS best_score, max(n_seen) AS n_seen "
+        f"FROM {name} GROUP BY domain"
+    )
+
+
+def _q26_dedup_stream(spark, sf: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on a stream (first event per
+    (user, event_type) within the watermark horizon)."""
+    src, tmp = _events_stream(spark, sf)
+    dedup = (
+        src.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    name = "wmd_q26_" + uuid.uuid4().hex[:8]
+    _run_to_memory(dedup, name, "append")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+def _q27_multimodal_features(spark, sf: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads → mapInPandas feature
+    extraction (decode stubbed deterministically; Spark-side schema,
+    batching and error capture are real)."""
+    from watermark_detector_spark.functions.multimodal import extract_features
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "ok", F.size("feature").alias("dim")
+    )
+
+
+def _q28_detect_udf_docs(spark, sf: str) -> DataFrame:
+    """The real pandas-UDF detector over documents (vocabulary
+    signatures) — per-source kept-detection counts. No SQL oracle (UDF
+    internals); rows-only check; pytest validates the UDF against
+    construction goldens on the pages fixtures."""
+    docs = _t(spark, sf, "documents")
+    detect = make_detect_udf(_ENTRY_SIGS)
+    det = docs.select("source", F.explode(detect(F.col("text"))).alias("d"))
+    return (
+        det.where(F.col("d.score") >= 0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_detections"),
+             F.round(F.avg("d.score"), 4).alias("avg_score"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_filter_project": _q01_filter_project,
+        "q02_groupby_agg": _q02_groupby_agg,
+        "q03_join_agg": _q03_join_agg,
+        "q04_topk": _q04_topk,
+        "q05_rank_window": _q05_rank_window,
+        "q06_union_distinct": _q06_union_distinct,
+        "q07_semi_join": _q07_semi_join,
+        "q08_anti_join": _q08_anti_join,
+        "q09_time_window_agg": _q09_time_window_agg,
+        "q10_sessionize": _q10_sessionize,
+        "q11_running_min": _q11_running_min,
+        "q12_token_count": _q12_token_count,
+        "q13_quality": _q13_quality,
+        "q14_lang_guess": _q14_lang_guess,
+        "q15_fingerprint": _q15_fingerprint,
+        "q16_dedup_exact": _q16_dedup_exact,
+        "q17_jaccard_pairs": _q17_jaccard_pairs,
+        "q18_minhash_sigs": _q18_minhash_sigs,
+        "q19_simhash": _q19_simhash,
+        "q20_cosine_pairs": _q20_cosine_pairs,
+        "q21_ann_topk": _q21_ann_topk,
+        "q22_lsh_candidates": _q22_lsh_candidates,
+        "q23_detect_hits": _q23_detect_hits,
+        "q24_stream_tumbling": _q24_stream_tumbling,
+        "q25_stateful_best": _q25_stateful_best,
+        "q26_dedup_stream": _q26_dedup_stream,
+        "q27_multimodal_features": _q27_multimodal_features,
+        "q28_detect_udf_docs": _q28_detect_udf_docs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t)-1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       FROM toks WHERE len(t) >= 3)
+"""
+
+
+def _simhash_sql(n_bits: int = 16) -> str:
+    bits = ",".join(
+        f"CASE WHEN SUM(CASE WHEN ascii(substr(h, {i+1}, 1)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+        for i in range(n_bits)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents),
+        h AS (SELECT doc_id, md5(w) AS h FROM tok)
+        SELECT doc_id, concat({bits}) AS simhash FROM h GROUP BY doc_id
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_filter_project": """
+            SELECT l_orderkey, l_partkey,
+                   round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+                   l_returnflag
+            FROM lineitem
+            WHERE l_shipdate < '1996-01-01' AND l_quantity > 45
+        """,
+        "q02_groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_net,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q03_join_agg": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q04_topk": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY o_custkey
+            ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+        """,
+        "q05_rank_window": """
+            SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (SELECT p_brand, p_partkey, p_retailprice,
+                         row_number() OVER (PARTITION BY p_brand
+                             ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+                  FROM part)
+            WHERE rn <= 3
+        """,
+        "q06_union_distinct": """
+            SELECT DISTINCT o_orderkey, o_orderstatus FROM (
+              SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000
+            )
+        """,
+        "q07_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        """,
+        "q08_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q09_time_window_agg": f"""
+            SELECT strftime(date_trunc('minute', ts), '{_TS_FMT_DUCK}') AS minute,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q10_sessionize": f"""
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - LAG(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, ts, event_id,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM e)
+            SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+                   strftime(MAX(ts), '{_TS_FMT_DUCK}') AS session_end
+            FROM s GROUP BY user_id, sess_id
+        """,
+        "q11_running_min": """
+            SELECT event_id, user_id,
+                   round(min(value) OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS UNBOUNDED PRECEDING), 4) AS running_min
+            FROM events
+        """,
+        "q12_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q13_quality": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     CAST(length(text) AS BIGINT) AS n_chars_text,
+                     CAST((length(' ' || text || ' ')
+                           - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+                          AS BIGINT) AS stop_hits,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+              FROM documents)
+            SELECT doc_id, n_chars_text, stop_hits,
+                   round(least(1.0, (1.0 * stop_hits / greatest(n_tok, 1) * 4 + 0.2)
+                         * (CASE WHEN n_tok BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END)), 4)
+                     AS quality
+            FROM base
+        """,
+        "q14_lang_guess": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ' ')))/4 AS BIGINT) AS en,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' el ', ' ')))/3 AS BIGINT) AS es,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' der ', ' ')))/4 AS BIGINT) AS de,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' le ', ' ')))/3 AS BIGINT) AS fr,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' os ', ' ')))/3 AS BIGINT) AS pt
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(en, es, de, fr, pt) = 0 THEN 'und'
+                        WHEN en = greatest(en, es, de, fr, pt) THEN 'en'
+                        WHEN es = greatest(en, es, de, fr, pt) THEN 'es'
+                        WHEN de = greatest(en, es, de, fr, pt) THEN 'de'
+                        WHEN fr = greatest(en, es, de, fr, pt) THEN 'fr'
+                        ELSE 'pt' END AS lang_guess
+            FROM h
+        """,
+        "q15_fingerprint": """
+            SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS fp_head
+            FROM documents
+        """,
+        "q16_dedup_exact": """
+            WITH k AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(
+                       regexp_split_to_array(trim(text), '\\s+'), 1, 5), ' ') AS dup_key
+              FROM documents)
+            SELECT dup_key, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper_id
+            FROM k GROUP BY dup_key
+        """,
+        "q17_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                         AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(1.0 * i / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                       JOIN sizes sb ON id_b = sb.doc_id
+            WHERE round(1.0 * i / (sa.n + sb.n - i), 4) >= 0.5
+        """,
+        "q18_minhash_sigs": f"""
+            WITH {_SHINGLES_CTE},
+            b AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh)
+            SELECT doc_id, CAST(band AS BIGINT) AS band,
+                   min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+            FROM b GROUP BY doc_id, band
+        """,
+        "q19_simhash": _simhash_sql(16),
+        "q20_cosine_pairs": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE)
+                            * CAST(b.embedding[i] AS DOUBLE)))
+                         / (a.nrm * b.nrm), 4) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE)
+                           * CAST(b.embedding[i] AS DOUBLE)))
+                        / (a.nrm * b.nrm), 4) >= 0.45
+        """,
+        "q21_ann_topk": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_sum(list_transform(range(1, len(q.embedding) + 1),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+              FROM n q JOIN n c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10)
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        "q22_lsh_candidates": f"""
+            WITH {_SHINGLES_CTE},
+            b AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
+            sig AS (SELECT doc_id, band,
+                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                    FROM b GROUP BY doc_id, band)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                                 AND a.doc_id < b.doc_id
+        """,
+        "q23_detect_hits": """
+            WITH per_doc AS (
+              SELECT doc_id, source,
+                     CAST((length(text) - length(replace(text, 'key agg row', ''))) / 11
+                          AS BIGINT)
+                   + CAST((length(text) - length(replace(text, 'slow fast table', ''))) / 15
+                          AS BIGINT) AS n_hits
+              FROM documents)
+            SELECT source, CAST(sum(n_hits) AS BIGINT) AS n_detections,
+                   CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM per_doc GROUP BY source
+        """,
+    }

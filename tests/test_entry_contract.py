@@ -1,0 +1,84 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry at sf0.01 and compare against ``oracle_sql()`` via
+DuckDB — row count, column names, and order-insensitive values."""
+
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(float)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_equal(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    assert list(got.columns) != [], name
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    g, w = _canon(got), _canon(want)
+    for c in g.columns:
+        if pd.api.types.is_float_dtype(g[c]):
+            assert np.allclose(g[c].fillna(math.nan), w[c].fillna(math.nan),
+                               atol=1e-9, equal_nan=True), f"{name}.{c}"
+        else:
+            assert (g[c].fillna("∅").astype(str) == w[c].fillna("∅").astype(str)).all(), (
+                f"{name}.{c}: first diff\n"
+                + str(pd.concat([g[c], w[c]], axis=1)[g[c].astype(str) != w[c].astype(str)].head())
+            )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    assert name in QUERIES, f"oracle without query: {name}"
+    got = QUERIES[name](spark, SF_DIR).toPandas()
+    want = duck.sql(ORACLES[name]).df()
+    _assert_equal(got, want, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "domain" in df.columns

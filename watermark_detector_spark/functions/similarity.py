@@ -1,0 +1,136 @@
+"""Embedding similarity search: brute-force cosine (baseline oracle) and
+an LSH-bucketed approximate path for scale.
+
+Vectors are ``array<float>`` columns; all arithmetic is built-in
+(``zip_with`` + ``aggregate`` run inside the JVM) — no Python in the
+pairwise loop. At 100 TB the brute-force O(N²) join is replaced by
+``lsh_bucketed_topk``: random-hyperplane sign buckets (SimHash for
+vectors) shrink each join side to a bucket; brute force stays as the
+in-bucket scorer and the small-scale correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_pairs(df: DataFrame, threshold: float = 0.45,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold (brute force; oracle path)."""
+    n = with_norm(df, vec_col)
+    a = n.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                 F.col("_norm").alias("_na"))
+    b = n.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                 F.col("_norm").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4)
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def brute_force_topk(df: DataFrame, k: int = 3, n_queries: int | None = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query vector (queries = first
+    ``n_queries`` ids, or all). Ordering on the UNROUNDED cosine with id
+    tiebreak — deterministic."""
+    n = with_norm(df, vec_col)
+    q = n.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vq"),
+                 F.col("_norm").alias("_nq"))
+    if n_queries is not None:
+        q = q.where(F.col("query_id") < n_queries)
+    c = n.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vc"),
+                 F.col("_norm").alias("_nc"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("_vq"), F.col("_vc")) / (F.col("_nq") * F.col("_nc"))).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("_cos"), 4).alias("cosine"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (hash-seeded, no RNG
+    state) for sign-LSH."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.blake2b(f"{seed}:{p}:{d}".encode(), digest_size=8).digest(), "big"
+            )
+            row.append((h / 2**64) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id for a vector under the given hyperplanes."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(df: DataFrame, dim: int, k: int = 3, n_planes: int = 6,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates restricted to the same sign-LSH
+    bucket, scored brute-force within the bucket. The scale path: the
+    quadratic join becomes per-bucket (2^n_planes-way partitioned)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    n = with_norm(df, vec_col).withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    a = n.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vq"),
+                 F.col("_norm").alias("_nq"), "_bucket")
+    b = n.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vc"),
+                 F.col("_norm").alias("_nc"), "_bucket")
+    scored = (
+        a.join(b, "_bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("_vq"), F.col("_vc")) / (F.col("_nq") * F.col("_nc"))).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("_cos"), 4).alias("cosine"))
+    )

@@ -1,0 +1,151 @@
+"""Deduplication operators for web-scale corpora: exact, prefix-key,
+n-gram Jaccard, MinHash(+LSH), SimHash.
+
+Design for 100 TB:
+- exact/prefix dedup is a single hash shuffle on a short key (never on
+  the full text);
+- Jaccard is quadratic and exists as the small-scale oracle; the scale
+  path is MinHash-LSH: shingle → per-band min-hash → bucket join, so
+  candidate generation is linear + one shuffle on (band, minhash);
+- SimHash gives a constant-size signature per doc for Hamming-distance
+  blocking.
+
+All implemented with built-in expressions (md5/min/explode) — the hash
+functions are engine-portable (identical results in any SQL engine),
+which is what makes these oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import prefix_fingerprint, tokens_col
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n_prefix: int = 5) -> DataFrame:
+    """Group docs by a short prefix key; one shuffle on the key only."""
+    return (
+        df.select(
+            F.col(id_col),
+            prefix_fingerprint(F.col(text_col), n_prefix).alias("dup_key"),
+        )
+        .groupBy("dup_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = tokens_col(F.col(text_col))
+    gram_parts = [F.element_at(F.col("_toks"), F.col("_i") + i) for i in range(n)]
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at(F.col("_toks"), i + k) for k in range(n)]
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Pairwise n-gram Jaccard near-dup pairs (>= threshold).
+
+    Quadratic in bucket size — the CORRECTNESS oracle. At scale, run
+    minhash_lsh_candidates first and compute Jaccard only on candidate
+    pairs."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_signatures(df: DataFrame, n_bands: int = 4, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-(doc, band) min-hash over shingles: banded signature table.
+    md5 is the hash family (band salt prepended) — engine-portable."""
+    sh = shingles(df, id_col, text_col, n)
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    return (
+        sh.select(id_col, "shingle", bands)
+        .select(
+            id_col,
+            "band",
+            F.md5(
+                F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")).cast("binary")
+            ).alias("h"),
+        )
+        .groupBy(id_col, "band")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, n_bands: int = 4, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band minimum. Linear scan +
+    one shuffle on (band, minhash) — the 100 TB near-dup path."""
+    sig = minhash_signatures(df, n_bands, id_col, text_col, n)
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "minhash")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "minhash")
+    return (
+        a.join(b, ["band", "minhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            n_bits: int = 16) -> DataFrame:
+    """Per-doc SimHash signature: majority vote over token-hash bits.
+    Bit i of a token = parity of hex char i of md5(token) — portable
+    across engines. Output: (id, simhash as '0'/'1' string)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).select(id_col, F.md5(F.col("tok").cast("binary")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.ascii(F.substring(F.col("h"), i + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(n_bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    bit_chars = [
+        F.when(F.col(f"_b{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return agg.select(id_col, F.concat(*bit_chars).alias("simhash"))
