@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., ...extras}
+
+Headline: the flagship detection pipeline (extract → detect →
+filter(>=0.5) → per-domain windowed agg) over a deterministic
+CC-realistic bench corpus (~2.7 kB docs, 100 signatures, 500
+Zipf-skewed domains), batch AND streaming-with-exactly-once-sink, plus
+heavyweight testdata queries at $SPARK_GRAFT_SF_DIR.
+
+Methodology: one warmup pass spins up the python worker pool and JIT
+before timing (BASELINE.json asks for SUSTAINED docs/sec); batch is the
+min of two timed runs. spark.sql.shuffle.partitions is pinned to 32 at
+every parallelism level so scaling runs differ ONLY in core count.
+
+Env:
+  SPARK_GRAFT_SF_DIR       (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS         (default 32)  — local[N] parallelism
+  WMD_BENCH_DOCS           (default 200000) — bench corpus size
+  WMD_BENCH_SKIP_TESTDATA  (default unset) — flagship only (scaling runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("WMD_BENCH_DOCS", "200000"))
+BENCH_ROOT = os.environ.get("WMD_BENCH_ROOT", "/root/repo/.bench")
+SKIP_TESTDATA = bool(os.environ.get("WMD_BENCH_SKIP_TESTDATA"))
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from watermark_detector_spark.fixtures import FixtureConfig, generate_pages_spark
+    from watermark_detector_spark.plans.flagship import (
+        flagship_batch,
+        kept_detections_fused,
+    )
+    from watermark_detector_spark.session import get_spark
+    from watermark_detector_spark.sources.pages import read_pages_batch
+    from watermark_detector_spark.streaming.pipeline import run_flagship_stream
+
+    spark = get_spark(
+        app_name=f"wmd-bench-{CPUS}",
+        cpus=CPUS,
+        extra_conf={
+            # scan granularity must exceed core count for the CPU-bound
+            # UDF stage (automatic at 100 TB; forced at bench scale)
+            "spark.sql.files.maxPartitionBytes": "16m",
+            # pinned across parallelism levels: scaling runs differ only
+            # in core count, never in plan shape
+            "spark.sql.shuffle.partitions": "32",
+        },
+    )
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- bench corpus (generated once, reused across runs) ---------------
+    cfg = FixtureConfig(
+        n_docs=N_DOCS, n_domains=500, span_s=7200,
+        n_sigs=100, min_words=200, max_words=500,
+    )
+    pages_path = os.path.join(BENCH_ROOT, f"pages_{N_DOCS}_v2")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        t0 = time.time()
+        generate_pages_spark(spark, cfg, pages_path, n_partitions=64)
+        extras["gen_sec"] = round(time.time() - t0, 2)
+
+    pages = read_pages_batch(spark, pages_path)
+
+    # --- warmup: python worker pool, JIT, codegen, OS page cache ---------
+    # (full pass: the timed run then measures sustained compute, not
+    # first-touch disk I/O — identical treatment at every core count)
+    kept_detections_fused(pages, cfg.signatures).count()
+
+    # --- headline 1: flagship batch (sustained docs/sec) -----------------
+    n_runs = 2 if N_DOCS <= 300_000 else 1
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        flagship_batch(pages, cfg.signatures).write.mode("overwrite").parquet(
+            os.path.join(BENCH_ROOT, f"out_flagship_batch_{CPUS}")
+        )
+        runs.append(time.time() - t0)
+    timings["flagship_batch"] = round(min(runs), 3)
+    extras["docs_per_sec_batch"] = round(N_DOCS / timings["flagship_batch"], 1)
+
+    # --- headline 2: flagship streaming w/ exactly-once sink -------------
+    stream_dir = os.path.join(BENCH_ROOT, f"pages_stream_{N_DOCS}_v2")
+    if not os.path.exists(stream_dir):
+        (
+            pages.withColumn("_b", F.pmod(F.xxhash64("url"), F.lit(8)))
+            .repartition(8, "_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(stream_dir + "_tmp")
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        tsrc = stream_dir + "_tmp"
+        i = 0
+        for sub in sorted(os.listdir(tsrc)):
+            if not sub.startswith("_b="):
+                continue
+            for f in sorted(os.listdir(os.path.join(tsrc, sub))):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(stream_dir, f"batch_{i:04d}.parquet")
+                    shutil.copy2(os.path.join(tsrc, sub, f), dst)
+                    os.utime(dst, (1700000000 + i, 1700000000 + i))
+                    i += 1
+        shutil.rmtree(tsrc, ignore_errors=True)
+
+    sink_root = os.path.join(BENCH_ROOT, f"sink_{CPUS}")
+    ckpt = os.path.join(BENCH_ROOT, f"ckpt_{CPUS}")
+    shutil.rmtree(sink_root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.time()
+    run_flagship_stream(
+        spark, stream_dir, cfg.signatures, sink_root, ckpt,
+        max_files_per_trigger=2,
+    )
+    timings["flagship_stream_e2e"] = round(time.time() - t0, 3)
+    extras["docs_per_sec_stream"] = round(N_DOCS / timings["flagship_stream_e2e"], 1)
+
+    # --- testdata heavyweights at SF_DIR ---------------------------------
+    if not SKIP_TESTDATA:
+        import __spark_entry__ as entrymod
+
+        q = entrymod.queries()
+        for name in ["q02_groupby_agg", "q03_join_agg", "q09_time_window_agg",
+                     "q17_jaccard_pairs", "q18_minhash_sigs", "q19_simhash",
+                     "q20_cosine_pairs", "q21_ann_topk"]:
+            t0 = time.time()
+            q[name](spark, SF_DIR).count()
+            timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_batch_sec",
+                "value": timings["flagship_batch"],
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "n_docs": N_DOCS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,8 @@ class FixtureConfig:
     window_s: int = 60  # tumbling window width
     late_frac: float = 0.02
     late_shift_s: int = 4500  # 75 min — guarantees drop (see golden rule below)
+    min_words: int = 40  # doc length band; bench uses bigger (CC-realistic) docs
+    max_words: int = 120
     signatures: list[Signature] = field(default_factory=list)
 
     def __post_init__(self):
@@ -129,7 +131,7 @@ def gen_doc(doc_id: int, cfg: FixtureConfig, domains: list[str]) -> dict:
     warc_ts = BASE_TS + timedelta(seconds=actual_off)
 
     # --- body words ---
-    n_words = 40 + h("nw") % 81  # 40..120
+    n_words = cfg.min_words + h("nw") % (cfg.max_words - cfg.min_words + 1)
     words = [DOC_VOCAB[h("w", i) % len(DOC_VOCAB)] for i in range(n_words)]
 
     # --- splice plan ---

@@ -62,8 +62,11 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    if driver_memory:
-        builder = builder.config("spark.driver.memory", driver_memory)
+    # local mode: the driver JVM IS the executor — size it accordingly
+    # (sandbox has 128 GiB; ignored when a JVM already exists)
+    builder = builder.config(
+        "spark.driver.memory", driver_memory or os.environ.get("WMD_DRIVER_MEM", "48g")
+    )
     builder = builder.config("spark.ui.enabled", "false")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -48,7 +48,12 @@ class ExactlyOnceParquetSink:
         files = sorted(
             f for f in os.listdir(path) if f.endswith(".parquet")
         )
-        n_rows = df.sparkSession.read.parquet(path).count()
+        # row count from parquet footers — no extra Spark job per batch
+        import pyarrow.parquet as pq
+
+        n_rows = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in files
+        )
         entry = {
             "batch_id": batch_id,
             "n_rows": n_rows,
