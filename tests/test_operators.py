@@ -1,0 +1,176 @@
+"""Operator-level tests: skew-salted agg equivalence, dedup family,
+similarity search, windows, multimodal plumbing, eval job."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from watermark_detector_spark.functions.multimodal import (
+    extract_features,
+    fake_decode,
+    real_decode_stub,
+)
+from watermark_detector_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    lsh_bucketed_topk,
+)
+from watermark_detector_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+)
+from watermark_detector_spark.operators.skew import (
+    direct_domain_stats,
+    salted_domain_stats,
+)
+from watermark_detector_spark.operators.windows import session, sliding, tumbling
+from watermark_detector_spark.plans.flagship import kept_detections_fused
+from watermark_detector_spark.sources.pages import read_pages_batch
+
+
+@pytest.fixture(scope="module")
+def kept(spark, fixture_cfg, fixture_paths):
+    pages = read_pages_batch(spark, fixture_paths["pages"])
+    return kept_detections_fused(pages, fixture_cfg.signatures).cache()
+
+
+def test_salted_agg_equals_direct(spark, kept):
+    """Salted two-phase aggregation must be result-identical to the
+    naive single-shuffle groupBy (skew handling changes the plan, never
+    the answer)."""
+    a = salted_domain_stats(kept, k=16).toPandas().sort_values("domain").reset_index(drop=True)
+    b = direct_domain_stats(kept).toPandas().sort_values("domain").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-9)
+
+
+def test_fixture_domains_are_skewed(kept):
+    """The Zipf skew the salting exists for: head domain carries >10%."""
+    counts = kept.groupBy("domain").count().toPandas()
+    assert counts["count"].max() / counts["count"].sum() > 0.10
+
+
+def test_windows_consistency(kept):
+    t = tumbling(kept, "1 minute").toPandas()
+    s = sliding(kept, "5 minutes", "1 minute").toPandas()
+    se = session(kept, "5 minutes").toPandas()
+    assert t["n_detections"].sum() > 0
+    # every detection lands in exactly 5 sliding windows (5min/1min)
+    assert s["n_detections"].sum() == 5 * t["n_detections"].sum()
+    # sessions cover the same detections exactly once
+    assert se["n_detections"].sum() == t["n_detections"].sum()
+    assert (se["session_start"] <= se["session_end"]).all()
+
+
+def test_lsh_candidates_superset_of_jaccard_dups(spark, fixture_paths):
+    """Every high-Jaccard pair must be caught by some LSH band (banded
+    minhash with 4 bands over identical shingle sets: a pair with
+    jaccard=1.0 shares all minima; >=0.9 shares a band w.h.p. — the
+    fixture near-dups are checked explicitly)."""
+    docs = spark.read.parquet(fixture_paths["pages"]).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    # build explicit near-dups: duplicate 20 docs with tiny suffix change
+    dups = docs.limit(20).select(
+        F.concat(F.col("doc_id"), F.lit("#copy")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    corpus = docs.limit(200).unionByName(dups)
+    jp = jaccard_pairs(corpus, threshold=0.8, id_col="doc_id")
+    lsh = minhash_lsh_candidates(corpus, n_bands=4, id_col="doc_id")
+    jp_pairs = {(r.id_a, r.id_b) for r in jp.collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert len(jp_pairs) >= 20  # the 20 injected copies
+    missed = jp_pairs - lsh_pairs
+    assert not missed, f"LSH missed {len(missed)} high-jaccard pairs"
+
+
+def test_minhash_deterministic_across_partitioning(spark, fixture_paths):
+    docs = spark.read.parquet(fixture_paths["pages"]).select(
+        F.col("url").alias("doc_id"), "text"
+    ).limit(100)
+    a = minhash_signatures(docs.repartition(1)).toPandas().sort_values(
+        ["doc_id", "band"]).reset_index(drop=True)
+    b = minhash_signatures(docs.repartition(16)).toPandas().sort_values(
+        ["doc_id", "band"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_near_dup_hamming(spark, fixture_paths):
+    """A doc and its lightly-edited copy get near-identical simhash."""
+    docs = spark.read.parquet(fixture_paths["pages"]).select(
+        F.col("url").alias("doc_id"), "text"
+    ).limit(10)
+    edited = docs.select(
+        F.concat(F.col("doc_id"), F.lit("#e")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+    )
+    sh = simhash(docs.unionByName(edited)).toPandas()
+    sh["base"] = sh["doc_id"].str.replace("#e", "", regex=False)
+    for base, grp in sh.groupby("base"):
+        if len(grp) == 2:
+            a, b = grp["simhash"].tolist()
+            ham = sum(x != y for x, y in zip(a, b))
+            assert ham <= 4, (base, a, b)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Sign-LSH ANN: recall@3 of the bucketed variant vs exact top-3
+    (same-bucket candidates only; recall is approximate by design but
+    must be well above chance)."""
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    exact = brute_force_topk(emb, k=3, n_queries=50).toPandas()
+    approx = lsh_bucketed_topk(emb, dim=64, k=3, n_planes=4).toPandas()
+    approx = approx[approx.query_id < 50]
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.2, recall  # 4 planes / 16 buckets: well above 1/16 chance
+
+
+def test_cosine_pairs_symmetric_bounds(spark):
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cp = cosine_pairs(emb, threshold=0.45).toPandas()
+    assert (cp["cosine"] <= 1.0).all() and (cp["cosine"] >= 0.45).all()
+    assert (cp["id_a"] < cp["id_b"]).all()
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [("m1", "image", b"\x89PNG fake bytes", "image/png", None, None, None),
+            ("m2", "audio", b"RIFF fake", "audio/wav", None, None, None),
+            ("m3", "image", None, "image/png", None, None, None)]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, mime string, "
+              "width int, height int, duration_ms long")
+    out = extract_features(media).toPandas().set_index("media_id")
+    assert out.loc["m1", "ok"] and len(out.loc["m1", "feature"]) == 8
+    assert out.loc["m2", "ok"]
+    assert not out.loc["m3", "ok"] and "ValueError" in out.loc["m3", "error"]
+    # determinism
+    again = extract_features(media).toPandas().set_index("media_id")
+    assert list(out.loc["m1", "feature"]) == list(again.loc["m1", "feature"])
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"x", "image")
+
+
+def test_eval_ap_perfect_on_goldens(spark, fixture_cfg, fixture_paths):
+    """Detector predictions vs construction goldens: precision=recall=1
+    per category (the detector IS exact on fixtures — the eval job is
+    validated by recovering that)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.eval_ap import evaluate
+
+    pages = read_pages_batch(spark, fixture_paths["pages"])
+    pred = kept_detections_fused(pages, fixture_cfg.signatures)
+    golden = spark.read.parquet(fixture_paths["golden_detections"])
+    res = evaluate(pred, golden).toPandas().set_index("category")
+    for cat in ("watermark", "text"):
+        assert res.loc[cat, "precision"] == 1.0, res
+        assert res.loc[cat, "recall"] == 1.0, res

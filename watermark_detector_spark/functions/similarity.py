@@ -109,24 +109,44 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_bucketed_topk(df: DataFrame, dim: int, k: int = 3, n_planes: int = 6,
-                      id_col: str = "vec_id", vec_col: str = "embedding",
-                      seed: int = 42) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same sign-LSH
-    bucket, scored brute-force within the bucket. The scale path: the
-    quadratic join becomes per-bucket (2^n_planes-way partitioned)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
-    n = with_norm(df, vec_col).withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
-    a = n.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vq"),
-                 F.col("_norm").alias("_nq"), "_bucket")
-    b = n.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vc"),
-                 F.col("_norm").alias("_nc"), "_bucket")
-    scored = (
-        a.join(b, "_bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id",
-            (_dot(F.col("_vq"), F.col("_vc")) / (F.col("_nq") * F.col("_nc"))).alias("_cos"),
+                      n_tables: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH: L independent hash
+    tables of ``n_planes`` hyperplanes each; candidates = union over
+    tables of same-bucket pairs, then scored brute-force once.
+
+    Recall for a pair at angle θ is 1-(1-(1-θ/π)^n_planes)^n_tables —
+    tunable. The scale path: each table's join is 2^n_planes-way
+    partitioned; candidate dedup is one distinct on (query, neighbor)."""
+    n = with_norm(df, vec_col)
+    buckets = F.array(*[
+        F.struct(
+            F.lit(t).alias("table"),
+            lsh_bucket(F.col(vec_col),
+                       random_hyperplanes(dim, n_planes, seed + 1000 * t)).alias("bucket"),
         )
+        for t in range(n_tables)
+    ])
+    n = n.withColumn("_tb", F.explode(buckets)).select(
+        id_col, vec_col, "_norm",
+        F.col("_tb.table").alias("_table"), F.col("_tb.bucket").alias("_bucket"),
+    )
+    a = n.select(F.col(id_col).alias("query_id"), "_table", "_bucket")
+    b = n.select(F.col(id_col).alias("neighbor_id"), "_table", "_bucket")
+    cand = (
+        a.join(b, ["_table", "_bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = with_norm(df, vec_col)
+    q = vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vq"),
+                    F.col("_norm").alias("_nq"))
+    c = vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vc"),
+                    F.col("_norm").alias("_nc"))
+    scored = cand.join(q, "query_id").join(c, "neighbor_id").select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("_vq"), F.col("_vc")) / (F.col("_nq") * F.col("_nc"))).alias("_cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
