@@ -320,6 +320,165 @@ def _q23_detect_hits(spark, sf: str) -> DataFrame:
     )
 
 
+def _q29_json_extract(spark, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.select("event_type",
+                 F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q30_rollup(spark, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def _q31_pivot(spark, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select("l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
+
+
+_Q32_SQL = """
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+def _q32_scalar_subquery(spark, sf: str) -> DataFrame:
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_Q32_SQL)
+
+
+def _q33_string_funcs(spark, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("head_upper"),
+        F.lpad("p_brand", 12, ".").alias("brand_pad"),
+        F.concat(F.col("p_type"), F.lit("/"), F.col("p_brand")).alias("type_brand"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+def _q34_date_parts(spark, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+            F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        )
+        .groupBy("yr", "qtr", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q35_having(spark, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .where(F.col("n_customers") > 50)
+    )
+
+
+def _q36_bucketing(spark, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(F.floor(F.col("o_totalprice") / 100000).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q37_intersect_except(spark, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 1000).select("c_custkey")
+    inter = building.intersect(rich).withColumn("setop", F.lit("intersect"))
+    exc = building.exceptAll(rich).distinct().withColumn("setop", F.lit("except"))
+    return inter.unionByName(exc)
+
+
+def _q38_lead_lag(spark, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("next_delta"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("prev_delta"),
+    )
+
+
+def _q39_percent_rank(spark, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+_Q40_SQL = """
+    SELECT m.l_returnflag, m.mx AS max_price,
+           min(li.l_orderkey) AS orderkey_of_max
+    FROM (SELECT l_returnflag, max(l_extendedprice) AS mx
+          FROM lineitem GROUP BY l_returnflag) m
+    JOIN lineitem li ON li.l_returnflag = m.l_returnflag
+                    AND li.l_extendedprice = m.mx
+    GROUP BY m.l_returnflag, m.mx
+"""
+
+
+def _q40_max_by(spark, sf: str) -> DataFrame:
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q40_SQL)
+
+
+def _q41_asof_join(spark, sf: str) -> DataFrame:
+    """As-of join (union + window pass — no quadratic join): for every
+    'error' event, the timestamp of the user's latest preceding 'click'."""
+    from watermark_detector_spark.operators.joins import asof_join
+
+    e = _t(spark, sf, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(errors, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("asof_ts", _TS_FMT_SPARK).alias("last_click_ts"),
+    )
+
+
+def _q42_distinct_count(spark, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming / stateful / UDF-stub queries (rows-only check; no oracle)
 # ---------------------------------------------------------------------------
@@ -466,6 +625,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_ann_topk": _q21_ann_topk,
         "q22_lsh_candidates": _q22_lsh_candidates,
         "q23_detect_hits": _q23_detect_hits,
+        "q29_json_extract": _q29_json_extract,
+        "q30_rollup": _q30_rollup,
+        "q31_pivot": _q31_pivot,
+        "q32_scalar_subquery": _q32_scalar_subquery,
+        "q33_string_funcs": _q33_string_funcs,
+        "q34_date_parts": _q34_date_parts,
+        "q35_having": _q35_having,
+        "q36_bucketing": _q36_bucketing,
+        "q37_intersect_except": _q37_intersect_except,
+        "q38_lead_lag": _q38_lead_lag,
+        "q39_percent_rank": _q39_percent_rank,
+        "q40_max_by": _q40_max_by,
+        "q41_asof_join": _q41_asof_join,
+        "q42_distinct_count": _q42_distinct_count,
         "q24_stream_tumbling": _q24_stream_tumbling,
         "q25_stateful_best": _q25_stateful_best,
         "q26_dedup_stream": _q26_dedup_stream,
@@ -708,6 +881,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
                                  AND a.doc_id < b.doc_id
+        """,
+        "q29_json_extract": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q30_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q31_pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q32_scalar_subquery": _Q32_SQL,
+        "q33_string_funcs": """
+            SELECT p_partkey,
+                   upper(substr(p_name, 1, 10)) AS head_upper,
+                   lpad(p_brand, 12, '.') AS brand_pad,
+                   p_type || '/' || p_brand AS type_brand,
+                   CAST(length(p_name) AS BIGINT) AS name_len
+            FROM part
+        """,
+        "q34_date_parts": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                   CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2, 3
+        """,
+        "q35_having": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+                   round(avg(c_acctbal), 2) AS avg_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name HAVING count(*) > 50
+        """,
+        "q36_bucketing": """
+            SELECT CAST(floor(o_totalprice / 100000) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        """,
+        "q37_intersect_except": """
+            SELECT c_custkey, 'intersect' AS setop FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+            UNION ALL
+            SELECT c_custkey, 'except' AS setop FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              EXCEPT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+        """,
+        "q38_lead_lag": """
+            SELECT event_id, user_id,
+                   round(lead(value) OVER w - value, 4) AS next_delta,
+                   round(value - lag(value) OVER w, 4) AS prev_delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "q39_percent_rank": """
+            SELECT event_id, user_id,
+                   round(percent_rank() OVER (PARTITION BY user_id
+                         ORDER BY value ASC, event_id ASC), 6) AS pr
+            FROM events
+        """,
+        "q40_max_by": _Q40_SQL,
+        "q41_asof_join": f"""
+            SELECT e.event_id, e.user_id,
+                   strftime(max(c.ts), '{_TS_FMT_DUCK}') AS last_click_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') e
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') c
+              ON c.user_id = e.user_id AND c.ts <= e.ts
+            GROUP BY e.event_id, e.user_id
+        """,
+        "q42_distinct_count": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
         """,
         "q23_detect_hits": """
             WITH per_doc AS (

@@ -31,6 +31,61 @@ def join_signatures_broadcast(kept: DataFrame, signatures: DataFrame) -> DataFra
     return kept.join(sig, "sig_id", "left")
 
 
+def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str,
+              right_ts: str, right_value_cols: list[str] | None = None) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts (same key). Spark has no native ASOF; the
+    scalable shape is union + one window pass (single sort-shuffle on
+    the key — NO quadratic join, no per-group pandas):
+
+      union(left tagged 1, right tagged 0)
+        → window last(right cols, ignorenulls) over
+          (partition by key order by ts, tag rows unbounded preceding)
+        → keep left rows.
+
+    Ties (right_ts == left_ts) count as matched (tag orders right rows
+    first)."""
+    from pyspark.sql.window import Window as W
+
+    right_value_cols = right_value_cols or []
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    r = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) if c != on else F.col(on)
+          for c in lcols],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.asc("_ts"), F.asc("_tag"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = (
+        l.unionByName(r)
+        .withColumn("_asof_ts", F.last("_r_ts", ignorenulls=True).over(w))
+        .select(
+            *lcols,
+            F.col("_asof_ts"),
+            *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+              for c in right_value_cols],
+            "_tag",
+        )
+        .where(F.col("_tag") == 1)
+        .drop("_tag")
+        .withColumnRenamed("_asof_ts", "asof_ts")
+    )
+    return out
+
+
 def join_signatures_stream_stream(
     detections_stream: DataFrame,
     signatures_stream: DataFrame,
