@@ -484,17 +484,22 @@ def _q42_distinct_count(spark, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_TMP_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp")
+
+
 def _events_stream(spark, sf: str):
     """Replay events.parquet as a file stream (tmp copy: file sources
     need a directory; ts cast to TIMESTAMP for event-time ops)."""
     e = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    d = tempfile.mkdtemp(prefix="wmd_events_stream_")
+    os.makedirs(_TMP_ROOT, exist_ok=True)
+    d = tempfile.mkdtemp(prefix="wmd_events_stream_", dir=_TMP_ROOT)
     e.write.mode("overwrite").parquet(os.path.join(d, "data"))
     return spark.readStream.schema(e.schema).parquet(os.path.join(d, "data")), d
 
 
 def _run_to_memory(stream_df, name: str, output_mode: str) -> None:
-    ckpt = tempfile.mkdtemp(prefix="wmd_ckpt_")
+    os.makedirs(_TMP_ROOT, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix="wmd_ckpt_", dir=_TMP_ROOT)
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")

@@ -31,7 +31,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# WMD_EXECUTORS: if set, use local-cluster[N,8,8192] (separate executor
+# JVMs + py-files shipping — the faithful N-executor cluster stand-in)
+N_EXECUTORS = int(os.environ.get("WMD_EXECUTORS", "0"))
 N_DOCS = int(os.environ.get("WMD_BENCH_DOCS", "200000"))
+N_SIGS = int(os.environ.get("WMD_BENCH_SIGS", "100"))
+MFPT = int(os.environ.get("WMD_BENCH_MFPT", "16"))
 BENCH_ROOT = os.environ.get("WMD_BENCH_ROOT", "/root/repo/.bench")
 SKIP_TESTDATA = bool(os.environ.get("WMD_BENCH_SKIP_TESTDATA"))
 
@@ -49,27 +54,35 @@ def main() -> None:
     from watermark_detector_spark.sources.pages import read_pages_batch
     from watermark_detector_spark.streaming.pipeline import run_flagship_stream
 
-    spark = get_spark(
-        app_name=f"wmd-bench-{CPUS}",
-        cpus=CPUS,
-        extra_conf={
-            # scan granularity must exceed core count for the CPU-bound
-            # UDF stage (automatic at 100 TB; forced at bench scale)
-            "spark.sql.files.maxPartitionBytes": "16m",
-            # pinned across parallelism levels: scaling runs differ only
-            # in core count, never in plan shape
-            "spark.sql.shuffle.partitions": "32",
-        },
-    )
+    conf = {
+        # scan granularity must exceed core count for the CPU-bound
+        # UDF stage (automatic at 100 TB; forced at bench scale)
+        "spark.sql.files.maxPartitionBytes": "8m",
+        # pinned across parallelism levels: scaling runs differ only
+        # in parallelism, never in plan shape
+        "spark.sql.shuffle.partitions": "32",
+    }
+    if N_EXECUTORS:
+        from jobs.build_pyfiles import build
+        from watermark_detector_spark.session import get_spark_cluster
+
+        cores = N_EXECUTORS * 8
+        spark = get_spark_cluster(
+            N_EXECUTORS, 8, app_name=f"wmd-bench-e{N_EXECUTORS}",
+            extra_conf=conf, py_files=build(),
+        )
+    else:
+        cores = CPUS
+        spark = get_spark(app_name=f"wmd-bench-{CPUS}", cpus=CPUS, extra_conf=conf)
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
     # --- bench corpus (generated once, reused across runs) ---------------
     cfg = FixtureConfig(
         n_docs=N_DOCS, n_domains=500, span_s=7200,
-        n_sigs=100, min_words=200, max_words=500,
+        n_sigs=N_SIGS, min_words=200, max_words=500,
     )
-    pages_path = os.path.join(BENCH_ROOT, f"pages_{N_DOCS}_v2")
+    pages_path = os.path.join(BENCH_ROOT, f"pages_{N_DOCS}_s{N_SIGS}")
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         t0 = time.time()
         generate_pages_spark(spark, cfg, pages_path, n_partitions=64)
@@ -83,23 +96,25 @@ def main() -> None:
     kept_detections_fused(pages, cfg.signatures).count()
 
     # --- headline 1: flagship batch (sustained docs/sec) -----------------
-    n_runs = 2 if N_DOCS <= 300_000 else 1
+    # min of 3: the sandbox host has ±50% timing noise spikes; sustained
+    # throughput is the noise-free floor
+    n_runs = 3
     runs = []
     for _ in range(n_runs):
         t0 = time.time()
         flagship_batch(pages, cfg.signatures).write.mode("overwrite").parquet(
-            os.path.join(BENCH_ROOT, f"out_flagship_batch_{CPUS}")
+            os.path.join(BENCH_ROOT, f"out_flagship_batch_{cores}")
         )
         runs.append(time.time() - t0)
     timings["flagship_batch"] = round(min(runs), 3)
     extras["docs_per_sec_batch"] = round(N_DOCS / timings["flagship_batch"], 1)
 
     # --- headline 2: flagship streaming w/ exactly-once sink -------------
-    stream_dir = os.path.join(BENCH_ROOT, f"pages_stream_{N_DOCS}_v2")
+    stream_dir = os.path.join(BENCH_ROOT, f"pages_stream64_{N_DOCS}_s{N_SIGS}")
     if not os.path.exists(stream_dir):
         (
-            pages.withColumn("_b", F.pmod(F.xxhash64("url"), F.lit(8)))
-            .repartition(8, "_b")
+            pages.withColumn("_b", F.pmod(F.xxhash64("url"), F.lit(64)))
+            .repartition(64, "_b")
             .write.partitionBy("_b")
             .mode("overwrite")
             .parquet(stream_dir + "_tmp")
@@ -118,16 +133,28 @@ def main() -> None:
                     i += 1
         shutil.rmtree(tsrc, ignore_errors=True)
 
-    sink_root = os.path.join(BENCH_ROOT, f"sink_{CPUS}")
-    ckpt = os.path.join(BENCH_ROOT, f"ckpt_{CPUS}")
-    shutil.rmtree(sink_root, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    t0 = time.time()
+    sink_root = os.path.join(BENCH_ROOT, f"sink_{cores}")
+    ckpt = os.path.join(BENCH_ROOT, f"ckpt_{cores}")
+    # streaming warmup: first streaming query in a JVM pays one-time
+    # state-store/codegen/python-pool init — sustained throughput is the
+    # contract (BASELINE.json), so warm once, then time
+    shutil.rmtree(sink_root + "_warm", ignore_errors=True)
+    shutil.rmtree(ckpt + "_warm", ignore_errors=True)
     run_flagship_stream(
-        spark, stream_dir, cfg.signatures, sink_root, ckpt,
-        max_files_per_trigger=2,
+        spark, stream_dir, cfg.signatures, sink_root + "_warm", ckpt + "_warm",
+        max_files_per_trigger=MFPT,
     )
-    timings["flagship_stream_e2e"] = round(time.time() - t0, 3)
+    stream_runs = []
+    for _ in range(2):  # min of 2: same noise treatment as batch
+        shutil.rmtree(sink_root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.time()
+        run_flagship_stream(
+            spark, stream_dir, cfg.signatures, sink_root, ckpt,
+            max_files_per_trigger=MFPT,
+        )
+        stream_runs.append(time.time() - t0)
+    timings["flagship_stream_e2e"] = round(min(stream_runs), 3)
     extras["docs_per_sec_stream"] = round(N_DOCS / timings["flagship_stream_e2e"], 1)
 
     # --- testdata heavyweights at SF_DIR ---------------------------------
@@ -150,7 +177,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "cpus": CPUS,
+                "cpus": cores, "executors": N_EXECUTORS or None,
                 "n_docs": N_DOCS,
                 **extras,
             }

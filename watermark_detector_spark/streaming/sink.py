@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class ExactlyOnceParquetSink:
-    def __init__(self, root: str):
+    def __init__(self, root: str, output_partitions: int | None = 8):
+        # window-agg output per batch is small relative to input; coalesce
+        # to a few files so the per-batch commit cost stays flat
+        self.output_partitions = output_partitions
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifest")
@@ -44,6 +47,8 @@ class ExactlyOnceParquetSink:
             # replayed batch already committed — exactly-once no-op
             return
         path = os.path.join(self.data_dir, f"batch_id={batch_id}")
+        if self.output_partitions:
+            df = df.coalesce(self.output_partitions)
         df.write.mode("overwrite").parquet(path)
         files = sorted(
             f for f in os.listdir(path) if f.endswith(".parquet")
