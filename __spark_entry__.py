@@ -51,6 +51,10 @@ from watermark_detector_spark.operators.dedup import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:  # timestamp rendering must match the UTC-based DuckDB oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

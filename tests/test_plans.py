@@ -1,0 +1,74 @@
+"""Physical-plan quality assertions — the properties that matter at
+100 TB, checked on the actual executed plans (SURVEY.md §4)."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q01's predicates must appear as PushedFilters on the parquet scan
+    (decode-then-filter, the reference's pattern, is wrong at scale)."""
+    plan = _plan(entrymod.queries()["q01_filter_project"](spark, SF))
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_scan_prunes_columns(spark):
+    plan = _plan(entrymod.queries()["q01_filter_project"](spark, SF))
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # only the 6 referenced columns, not all 16 of lineitem
+    assert "l_orderkey" in rs and "l_comment" not in rs and "l_tax" not in rs
+
+
+def test_small_dim_join_broadcasts(spark):
+    """nation (25 rows) must broadcast — never shuffle the fact side."""
+    plan = _plan(entrymod.queries()["q03_join_agg"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_is_two_phase(spark):
+    """Partial (map-side) aggregation before the exchange."""
+    plan = _plan(entrymod.queries()["q02_groupby_agg"](spark, SF))
+    assert "partial_" in plan
+    assert plan.index("partial_") > plan.index("HashAggregate")
+
+
+def test_semi_anti_join_physical(spark):
+    assert "LeftSemi" in _plan(entrymod.queries()["q07_semi_join"](spark, SF))
+    assert "LeftAnti" in _plan(entrymod.queries()["q08_anti_join"](spark, SF))
+
+
+def test_topk_uses_limit_not_global_sort(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    top-k + merge), not a full global sort."""
+    plan = _plan(entrymod.queries()["q04_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join must not contain a join operator at all — it is a
+    union + window (one sort-shuffle), the scalable shape."""
+    plan = _plan(entrymod.queries()["q41_asof_join"](spark, SF))
+    assert "Join" not in plan or "BroadcastNestedLoop" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_whole_stage_codegen_covers_relational_ops(spark):
+    df = entrymod.queries()["q02_groupby_agg"](spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' node prefixes mark WholeStageCodegen stages in Spark 4
+    assert "*(" in plan

@@ -1,0 +1,88 @@
+"""Built-in sliding and session windows under a REAL stream (watermark
++ availableNow), cross-checked against the batch plan on the same rows.
+
+The streaming run drops late rows and never emits unfinalized windows;
+the batch oracle reproduces both effects by (a) excluding late rows via
+the splice log and (b) restricting to windows closed by the final
+watermark (flush-sentinel event time - delay)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from watermark_detector_spark.fixtures import BASE_TS
+from watermark_detector_spark.operators.windows import session, sliding
+from watermark_detector_spark.plans.flagship import kept_detections_fused
+from watermark_detector_spark.sources.pages import read_pages_stream
+
+
+def _stream_to_memory(spark, df, name, tmp):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).toPandas()
+
+
+@pytest.fixture(scope="module")
+def batch_kept(spark, fixture_cfg, fixture_paths):
+    """Non-late detection rows (the splice log flags late docs)."""
+    pages = spark.read.parquet(fixture_paths["pages"])
+    late_urls = (
+        spark.read.parquet(fixture_paths["splices"])
+        .where("is_late").select("url").distinct()
+    )
+    kept = kept_detections_fused(pages, fixture_cfg.signatures)
+    return kept.join(late_urls, "url", "left_anti")
+
+
+def test_streaming_sliding_window_matches_batch(spark, fixture_cfg,
+                                                fixture_paths, tmp_path,
+                                                batch_kept):
+    stream_kept = kept_detections_fused(
+        read_pages_stream(spark, fixture_paths["pages_stream"]),
+        fixture_cfg.signatures,
+    )
+    got = _stream_to_memory(
+        spark,
+        sliding(stream_kept, "5 minutes", "1 minute", watermark="10 minutes"),
+        "slide_out", tmp_path,
+    )
+    # batch oracle on non-late rows, restricted to finalized windows
+    flush_ts = BASE_TS + pd.Timedelta(
+        seconds=fixture_cfg.span_s + 3 * fixture_cfg.watermark_delay_s
+    )
+    final_wm = flush_ts - pd.Timedelta(seconds=fixture_cfg.watermark_delay_s)
+    want = sliding(batch_kept, "5 minutes", "1 minute").toPandas()
+    want = want[pd.to_datetime(want["window_end"]) <= final_wm]
+    got = got[~got["domain"].isna()].sort_values(
+        ["domain", "window_start"]).reset_index(drop=True)
+    want = want.sort_values(["domain", "window_start"]).reset_index(drop=True)
+    # the flush sentinel itself lands past final_wm -> excluded both sides
+    assert got.shape == want.shape
+    for c in ("domain", "window_start", "window_end", "n_detections",
+              "n_watermark", "n_text"):
+        assert (got[c].values == want[c].values).all(), c
+
+
+def test_streaming_builtin_session_window_runs(spark, fixture_cfg,
+                                               fixture_paths, tmp_path):
+    """F.session_window in streaming mode (requires watermark): emits
+    coherent closed sessions."""
+    stream_kept = kept_detections_fused(
+        read_pages_stream(spark, fixture_paths["pages_stream"]),
+        fixture_cfg.signatures,
+    )
+    got = _stream_to_memory(
+        spark,
+        session(stream_kept, "5 minutes", watermark="10 minutes"),
+        "sess_builtin_out", tmp_path,
+    )
+    assert len(got) > 0
+    assert (pd.to_datetime(got["session_start"])
+            < pd.to_datetime(got["session_end"])).all()
+    assert (got["n_detections"] > 0).all()
