@@ -475,6 +475,23 @@ def _q41_asof_join(spark, sf: str) -> DataFrame:
     )
 
 
+def _q43_session_window(spark, sf: str) -> DataFrame:
+    """Built-in F.session_window (batch mode) vs a plain-SQL
+    sessionization oracle: Spark's session end == last event + gap."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("w.end"), _TS_FMT_SPARK).alias("session_end"),
+            "n_events", "avg_value",
+        )
+    )
+
+
 def _q42_distinct_count(spark, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     return e.groupBy("event_type").agg(
@@ -648,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_max_by": _q40_max_by,
         "q41_asof_join": _q41_asof_join,
         "q42_distinct_count": _q42_distinct_count,
+        "q43_session_window": _q43_session_window,
         "q24_stream_tumbling": _q24_stream_tumbling,
         "q25_stateful_best": _q25_stateful_best,
         "q26_dedup_stream": _q26_dedup_stream,
@@ -970,6 +988,25 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type = 'click') c
               ON c.user_id = e.user_id AND c.ts <= e.ts
             GROUP BY e.event_id, e.user_id
+        """,
+        "q43_session_window": f"""
+            WITH e AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN ts - LAG(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM e)
+            SELECT user_id,
+                   strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+                   strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(AVG(value), 4) AS avg_value
+            FROM s GROUP BY user_id, sess_id
         """,
         "q42_distinct_count": """
             SELECT event_type,
