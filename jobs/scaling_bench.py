@@ -64,8 +64,14 @@ def main() -> None:
     lo, hi = min(LEVELS), max(LEVELS)
     rows = []
     effs = {}
-    for key, label in [("docs_per_sec_batch", "flagship batch"),
-                       ("docs_per_sec_stream", "flagship streaming (exactly-once sink)")]:
+    for key, label in [
+        ("docs_per_sec_batch", "flagship batch"),
+        ("docs_per_sec_stream", "flagship streaming e2e (incl. query start/teardown)"),
+        ("docs_per_sec_stream_sustained",
+         "flagship streaming SUSTAINED (data micro-batches; the BASELINE.json metric)"),
+    ]:
+        if key not in results[lo] or key not in results[hi]:
+            continue
         t_lo, t_hi = results[lo][key], results[hi][key]
         eff = (t_hi / t_lo) / (hi / lo)  # throughput ratio / executor ratio
         effs[key] = eff
