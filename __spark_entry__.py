@@ -535,7 +535,12 @@ def _run_to_memory(stream_df, name: str, output_mode: str) -> None:
 
 def _q24_stream_tumbling(spark, sf: str) -> DataFrame:
     """Streaming tumbling-window aggregation with event-time watermark
-    (append mode) — the flagship streaming operator on driver tables."""
+    (append mode) — the flagship streaming operator on driver tables.
+
+    Oracle-able: with a single availableNow batch nothing is late, and
+    append mode emits exactly the windows whose end <= final watermark
+    (max event time - 10 min); the DuckDB oracle replays that rule in
+    batch SQL (time_bucket == Spark's epoch-aligned tumbling window)."""
     src, tmp = _events_stream(spark, sf)
     name = "wmd_q24_" + uuid.uuid4().hex[:8]
     agg = (
@@ -567,20 +572,28 @@ def _q25_stateful_best(spark, sf: str) -> DataFrame:
     name = "wmd_q25_" + uuid.uuid4().hex[:8]
     _run_to_memory(track_best(kept), name, "update")
     shutil.rmtree(tmp, ignore_errors=True)
+    # max over improvement records == global max per key, REGARDLESS of
+    # how availableNow splits micro-batches (the batch containing the
+    # global max always improves state and emits) — which is what makes
+    # this oracle-able as a plain batch max.
     return spark.sql(
-        f"SELECT domain, max(best_score) AS best_score, max(n_seen) AS n_seen "
+        f"SELECT domain, round(max(best_score), 6) AS best_score "
         f"FROM {name} GROUP BY domain"
     )
 
 
 def _q26_dedup_stream(spark, sf: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on a stream (first event per
-    (user, event_type) within the watermark horizon)."""
+    (user, event_type) within the watermark horizon).
+
+    Emits the deduped KEY SET — order-insensitive, so the oracle is a
+    plain DISTINCT (which event "won" depends on file arrival order and
+    is deliberately not part of the contract)."""
     src, tmp = _events_stream(spark, sf)
     dedup = (
         src.withWatermark("ts", "30 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type", "event_id")
+        .select("user_id", "event_type")
     )
     name = "wmd_q26_" + uuid.uuid4().hex[:8]
     _run_to_memory(dedup, name, "append")
@@ -605,8 +618,14 @@ def _q27_multimodal_features(spark, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("duration_ms"),
     )
     feats = extract_features(media)
+    # feature bytes are md5-derived (functions/multimodal.fake_decode),
+    # so DuckDB can recompute them: f_i = digest byte i. float32 b/255
+    # round-trips exactly through *255 + round at byte magnitudes.
     return feats.select(
-        "media_id", "kind", "n_bytes", "ok", F.size("feature").alias("dim")
+        "media_id", "kind", "n_bytes", "ok",
+        F.size("feature").cast("bigint").alias("dim"),
+        F.round(F.element_at("feature", 1) * 255, 0).cast("bigint").alias("f0"),
+        F.round(F.element_at("feature", 8) * 255, 0).cast("bigint").alias("f7"),
     )
 
 
@@ -685,6 +704,13 @@ sh AS (SELECT DISTINCT doc_id,
                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
        FROM toks WHERE len(t) >= 3)
 """
+
+
+def _hex_byte_sql(col: str, i: int) -> str:
+    """DuckDB expression: byte ``i`` of a lowercase hex digest string."""
+    hi = f"(strpos('0123456789abcdef', substr({col}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({col}, {2 * i + 2}, 1)) - 1)"
+    return f"(16 * {hi} + {lo})"
 
 
 def _simhash_sql(n_bits: int = 16) -> str:
@@ -1026,5 +1052,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM per_doc GROUP BY source
+        """,
+        # -- streaming / stateful / UDF queries, oracled as batch SQL --
+        # q24: append-mode emission rule = windows whose end <= final
+        # watermark (max event time - delay); single availableNow batch
+        # ⇒ no late drops. time_bucket == Spark's epoch-aligned window.
+        "q24_stream_tumbling": f"""
+            WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+            agg AS (
+              SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS ws, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     round(avg(value), 4) AS avg_value
+              FROM events GROUP BY 1, 2)
+            SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+                   event_type, n_events, avg_value
+            FROM agg, wm WHERE ws + INTERVAL 5 MINUTE <= wm.w
+        """,
+        # q25: max over emitted improvement records == global max per key
+        "q25_stateful_best": """
+            SELECT event_type AS domain, round(max(value), 6) AS best_score
+            FROM events GROUP BY event_type
+        """,
+        # q26: the deduped key set is exactly DISTINCT(user, type) when
+        # every key stays inside the watermark horizon of the run
+        "q26_dedup_stream": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # q27: md5-derived fake features recomputed byte-for-byte
+        "q27_multimodal_features": f"""
+            WITH hx AS (
+              SELECT 'doc-' || doc_id AS media_id, 'image' AS kind,
+                     CAST(strlen(text) AS BIGINT) AS n_bytes,
+                     md5(text) AS h
+              FROM documents)
+            SELECT media_id, kind, n_bytes, true AS ok,
+                   CAST(8 AS BIGINT) AS dim,
+                   CAST({_hex_byte_sql('h', 0)} AS BIGINT) AS f0,
+                   CAST({_hex_byte_sql('h', 7)} AS BIGINT) AS f7
+            FROM hx
         """,
     }

@@ -40,15 +40,14 @@ FEATURE_SCHEMA = (
 
 def fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """DETERMINISTIC FAKE decoder (no codecs in this container): derives
-    an 8-dim feature from payload bytes. Replace with a real
+    an 8-dim feature from the md5 of the payload bytes — md5 so a SQL
+    oracle (DuckDB ``md5(text)``) can recompute feature values exactly.
+    Feature i = digest byte i / 255 as float32. Replace with a real
     cv2/PIL/soundfile decode on a cluster with codecs installed."""
     if payload is None:
         raise ValueError("null payload")
-    h = hashlib.blake2b(payload, digest_size=32).digest()
-    return (
-        np.frombuffer(h, dtype=np.uint8).astype(np.float32).reshape(4, 8).mean(axis=0)
-        / 255.0
-    )
+    h = hashlib.md5(payload).digest()
+    return np.frombuffer(h[:8], dtype=np.uint8).astype(np.float32) / 255.0
 
 
 def real_decode_stub(payload: bytes, kind: str) -> np.ndarray:
