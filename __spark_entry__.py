@@ -492,6 +492,53 @@ def _q43_session_window(spark, sf: str) -> DataFrame:
     )
 
 
+def _q44_lsh_ann_candidates(spark, sf: str) -> DataFrame:
+    """Sign-LSH candidate generation for ANN — the SQL-expressible stage
+    of the scale path (bucketed join, never all-pairs). The DuckDB
+    oracle recomputes the same hyperplane buckets from literal plane
+    weights (deterministic blake2b-seeded hyperplanes)."""
+    from watermark_detector_spark.functions.similarity import lsh_candidate_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return (
+        lsh_candidate_pairs(e, dim=64, n_planes=4, n_tables=2, seed=42)
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    )
+
+
+def _q45_near_dup_pairs(spark, sf: str) -> DataFrame:
+    """Composed production near-dup: LSH candidates → exact Jaccard on
+    candidates only (operators/dedup.near_dup_pairs)."""
+    from watermark_detector_spark.operators.dedup import near_dup_pairs
+
+    d = _t(spark, sf, "documents")
+    return near_dup_pairs(d, threshold=0.5)
+
+
+def _q46_cube(spark, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def _q47_percentiles(spark, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    ANSI quantile_cont); the approximate-sketch variant
+    (approx_percentile) is pytest-checked against this within tolerance
+    (t:test_approx_percentile_close_to_exact)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 4).alias("p25"),
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.75), 4).alias("p75"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+    )
+
+
 def _q42_distinct_count(spark, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     return e.groupBy("event_type").agg(
@@ -685,6 +732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_asof_join": _q41_asof_join,
         "q42_distinct_count": _q42_distinct_count,
         "q43_session_window": _q43_session_window,
+        "q44_lsh_ann_candidates": _q44_lsh_ann_candidates,
+        "q45_near_dup_pairs": _q45_near_dup_pairs,
+        "q46_cube": _q46_cube,
+        "q47_percentiles": _q47_percentiles,
         "q24_stream_tumbling": _q24_stream_tumbling,
         "q25_stateful_best": _q25_stateful_best,
         "q26_dedup_stream": _q26_dedup_stream,
@@ -711,6 +762,37 @@ def _hex_byte_sql(col: str, i: int) -> str:
     hi = f"(strpos('0123456789abcdef', substr({col}, {2 * i + 1}, 1)) - 1)"
     lo = f"(strpos('0123456789abcdef', substr({col}, {2 * i + 2}, 1)) - 1)"
     return f"(16 * {hi} + {lo})"
+
+
+def _lsh_candidates_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 2,
+                        seed: int = 42) -> str:
+    """Regenerate the Spark sign-LSH buckets in DuckDB: the hyperplanes
+    are deterministic (blake2b-seeded), so they inline as literal lists;
+    the bucket is the ordered sign string of the plane dot products."""
+    from watermark_detector_spark.functions.similarity import random_hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(random_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            w = ", ".join(repr(v) for v in plane)
+            rows.append(f"({t}, {p}, [{w}])")
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH planes(t, p, w) AS (VALUES
+              {values}),
+        b AS (
+          SELECT e.vec_id, pl.t,
+                 string_agg(CASE WHEN list_sum(list_transform(
+                                   range(1, len(e.embedding) + 1),
+                                   i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i]))
+                                 >= 0 THEN '1' ELSE '0' END,
+                            '' ORDER BY pl.p) AS bucket
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.t)
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket
+                         AND a.vec_id < c.vec_id
+    """
 
 
 def _simhash_sql(n_bits: int = 16) -> str:
@@ -1052,6 +1134,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM per_doc GROUP BY source
+        """,
+        "q44_lsh_ann_candidates": _lsh_candidates_sql(),
+        "q45_near_dup_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            bnd AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
+            sig AS (SELECT doc_id, band,
+                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                    FROM bnd GROUP BY doc_id, band),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                                          AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                                  JOIN sh sb ON sb.doc_id = c.id_b
+                                            AND sb.shingle = sa.shingle
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(1.0 * i / (x.n + y.n - i), 4) AS jaccard
+            FROM inter JOIN sizes x ON id_a = x.doc_id
+                       JOIN sizes y ON id_b = y.doc_id
+            WHERE round(1.0 * i / (x.n + y.n - i), 4) >= 0.5
+        """,
+        "q46_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "q47_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type
         """,
         # -- streaming / stateful / UDF queries, oracled as batch SQL --
         # q24: append-mode emission rule = windows whose end <= final

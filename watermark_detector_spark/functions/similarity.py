@@ -55,20 +55,109 @@ def cosine_pairs_expr(df: DataFrame, threshold: float = 0.45,
     )
 
 
-def cosine_pairs(df: DataFrame, threshold: float = 0.45,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All pairs with cosine >= threshold — GEMM-blocked.
+def _round_half_up(x, ndigits: int = 4):
+    """HALF_UP rounding, matching Spark's F.round / DuckDB round (numpy
+    and Python ``round`` are HALF_EVEN — a latent tie divergence)."""
+    import numpy as np
 
-    The scale shape: the normalized matrix is broadcast once (an
-    embedding dim table is small next to the corpus: 10^6 x 64 floats =
-    256 MB); each partition multiplies its row block against it with
-    numpy (BLAS) and emits only pairs above threshold. One Python
-    transit, zero shuffle, no per-pair expression evaluation. Beyond
-    broadcastable sizes the same kernel runs per LSH bucket
-    (``lsh_bucketed_topk``)."""
+    scale = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def cosine_pairs(df: DataFrame, threshold: float = 0.45,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 rows_per_block: int = 8192) -> DataFrame:
+    """All pairs with cosine >= threshold — EXACT, distributed
+    block-pair GEMM. No driver collect, no broadcast of the corpus.
+
+    Scale shape: rows hash into B = ceil(N / rows_per_block) blocks;
+    each row is replicated to the B block-pair groups it participates
+    in (shuffle volume O(N·B·dim)); each (lo, hi) group multiplies its
+    two row blocks with one BLAS GEMM and emits only pairs above the
+    threshold. Compute is the unavoidable exact O(N²) but distributed
+    over B(B+1)/2 independent tasks whose working set is bounded by
+    2·rows_per_block vectors — no single node ever holds the corpus.
+    For approximate-but-linear candidate generation use
+    ``lsh_bucketed_topk`` / ``minhash_lsh_candidates`` instead."""
+    import math
+
     import numpy as np
     import pandas as pd
 
+    n_rows = df.count()  # one lightweight agg job to size the blocking
+    n_blocks = max(1, math.ceil(n_rows / rows_per_block))
+
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # replicate each row into every block-pair group (lo, hi) it joins
+    exploded = (
+        d.withColumn("_j", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .select(
+            "_id", "_v", "_blk",
+            F.least("_blk", "_j").alias("_lo"),
+            F.greatest("_blk", "_j").alias("_hi"),
+        )
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(pdf["_lo"].iat[0]), int(pdf["_hi"].iat[0])
+        ids = pdf["_id"].to_numpy()
+        mat = np.array(list(pdf["_v"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if lo == hi:
+            ids_a = ids_b = ids
+            mat_a = mat_b = mat
+        else:
+            a_mask = (pdf["_blk"] == lo).to_numpy()
+            ids_a, mat_a = ids[a_mask], mat[a_mask]
+            ids_b, mat_b = ids[~a_mask], mat[~a_mask]
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        cos = mat_a @ mat_b.T  # BLAS GEMM per block pair
+        if lo == hi:
+            mask = (cos >= threshold - 5e-5) & (ids_a[:, None] < ids_b[None, :])
+        else:  # disjoint blocks: each unordered pair appears exactly once
+            mask = cos >= threshold - 5e-5
+        ia, jb = np.nonzero(mask)
+        c = _round_half_up(cos[ia, jb], 4)
+        keep = c >= threshold
+        pa, pb = ids_a[ia[keep]], ids_b[jb[keep]]
+        return pd.DataFrame({
+            "id_a": np.minimum(pa, pb).astype("int64"),
+            "id_b": np.maximum(pa, pb).astype("int64"),
+            "cosine": c[keep],
+        })
+
+    return exploded.groupBy("_lo", "_hi").applyInPandas(
+        _kernel, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def cosine_pairs_broadcast(df: DataFrame, threshold: float = 0.45,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           max_rows: int = 500_000) -> DataFrame:
+    """Broadcast variant: collects the (small!) table once, broadcasts
+    the normalized matrix, and each partition GEMMs its rows against it
+    — zero shuffle. ONLY for genuinely bounded dimension tables; guarded
+    by ``max_rows`` (500k x 64 float64 = 256 MB broadcast) so it can
+    never be pointed at a corpus-sized table by accident. Broadcasts
+    are unpersisted when the returned DataFrame is fully consumed is
+    not knowable — callers doing repeated scans should cache the result
+    and call ``.unpersist()`` on the broadcast handles themselves; for
+    one-shot queries the cost is one bounded blob per executor."""
+    import numpy as np
+    import pandas as pd
+
+    n_rows = df.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs_broadcast: {n_rows} rows > max_rows={max_rows}; "
+            "use cosine_pairs (block-pair GEMM) for corpus-sized tables"
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -83,16 +172,15 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.45,
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
             qids = pdf[id_col].to_numpy()
             cos = q @ all_mat.T  # BLAS GEMM
-            out_a, out_b, out_c = [], [], []
-            for i in range(len(qids)):
-                mask = (cos[i] >= threshold - 5e-5) & (all_ids > qids[i])
-                for j in np.nonzero(mask)[0]:
-                    c = round(float(cos[i, j]), 4)
-                    if c >= threshold:
-                        out_a.append(int(qids[i]))
-                        out_b.append(int(all_ids[j]))
-                        out_c.append(c)
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+            mask = (cos >= threshold - 5e-5) & (qids[:, None] < all_ids[None, :])
+            ia, jb = np.nonzero(mask)
+            c = _round_half_up(cos[ia, jb], 4)
+            keep = c >= threshold
+            yield pd.DataFrame({
+                "id_a": qids[ia[keep]].astype("int64"),
+                "id_b": all_ids[jb[keep]].astype("int64"),
+                "cosine": c[keep],
+            })
 
     return df.select(id_col, vec_col).mapInPandas(
         _block, schema="id_a long, id_b long, cosine double"
@@ -155,37 +243,50 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
-def lsh_bucketed_topk(df: DataFrame, dim: int, k: int = 3, n_planes: int = 6,
-                      n_tables: int = 8, id_col: str = "vec_id",
-                      vec_col: str = "embedding", seed: int = 42) -> DataFrame:
-    """Approximate top-k via multi-table sign-LSH: L independent hash
-    tables of ``n_planes`` hyperplanes each; candidates = union over
-    tables of same-bucket pairs, then scored brute-force once.
+def lsh_candidate_pairs(df: DataFrame, dim: int, n_planes: int = 3,
+                        n_tables: int = 16, id_col: str = "vec_id",
+                        vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Candidate (query_id, neighbor_id) pairs sharing a sign-LSH bucket
+    in ANY of ``n_tables`` hash tables (both orientations, distinct).
 
-    Recall for a pair at angle θ is 1-(1-(1-θ/π)^n_planes)^n_tables —
-    tunable. The scale path: each table's join is 2^n_planes-way
-    partitioned; candidate dedup is one distinct on (query, neighbor)."""
-    n = with_norm(df, vec_col)
-    buckets = F.array(*[
+    This is the linear, SQL-expressible candidate-generation stage of
+    ANN: bucket assignment is a projection (no Python), and each table's
+    self-join shuffles on (table, bucket) — 2^n_planes-way partitioned,
+    never all-pairs. Oracle-checked by driver query q44."""
+    bucketed = df.withColumn("_tb", F.explode(F.array(*[
         F.struct(
             F.lit(t).alias("table"),
             lsh_bucket(F.col(vec_col),
                        random_hyperplanes(dim, n_planes, seed + 1000 * t)).alias("bucket"),
         )
         for t in range(n_tables)
-    ])
-    n = n.withColumn("_tb", F.explode(buckets)).select(
-        id_col, vec_col, "_norm",
+    ]))).select(
+        id_col,
         F.col("_tb.table").alias("_table"), F.col("_tb.bucket").alias("_bucket"),
     )
-    a = n.select(F.col(id_col).alias("query_id"), "_table", "_bucket")
-    b = n.select(F.col(id_col).alias("neighbor_id"), "_table", "_bucket")
-    cand = (
+    a = bucketed.select(F.col(id_col).alias("query_id"), "_table", "_bucket")
+    b = bucketed.select(F.col(id_col).alias("neighbor_id"), "_table", "_bucket")
+    return (
         a.join(b, ["_table", "_bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+def lsh_bucketed_topk(df: DataFrame, dim: int, k: int = 3, n_planes: int = 3,
+                      n_tables: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH: L independent hash
+    tables of ``n_planes`` hyperplanes each; candidates = union over
+    tables of same-bucket pairs, then scored brute-force once.
+
+    Recall for a pair at angle θ is 1-(1-(1-θ/π)^n_planes)^n_tables.
+    Defaults are tuned for ~0.3-cosine nearest neighbors (recall 0.99
+    measured on the embeddings fixture — t:test_lsh_topk_recall); at
+    larger corpus sizes grow n_planes (smaller buckets) and n_tables
+    together to hold recall while keeping per-bucket work bounded."""
+    cand = lsh_candidate_pairs(df, dim, n_planes, n_tables, id_col, vec_col, seed)
     vecs = with_norm(df, vec_col)
     q = vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vq"),
                     F.col("_norm").alias("_nq"))

@@ -129,6 +129,45 @@ def minhash_lsh_candidates(df: DataFrame, n_bands: int = 4, id_col: str = "doc_i
     )
 
 
+def near_dup_pairs(df: DataFrame, threshold: float = 0.5, n_bands: int = 4,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 3) -> DataFrame:
+    """THE production near-dup operator: MinHash-LSH candidate pairs,
+    then exact n-gram Jaccard computed ONLY on candidates.
+
+    Composition of ``minhash_lsh_candidates`` (linear + one shuffle on
+    (band, minhash)) and the Jaccard scorer restricted to the candidate
+    set: intersection counts come from candidates ⋈ shingles(id_a) ⋈
+    shingles(id_b, same shingle) — work proportional to candidates ×
+    shingles-per-doc, never all-pairs. Same output contract as
+    ``jaccard_pairs`` wherever LSH recall is 1 (equivalence-tested);
+    LSH can only MISS pairs, never fabricate them, so precision is
+    exact by construction."""
+    cand = minhash_lsh_candidates(df, n_bands, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "id_a").join(zb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             n_bits: int = 16) -> DataFrame:
     """Per-doc SimHash signature: majority vote over token-hash bits.
