@@ -245,3 +245,82 @@ def test_eval_ap_perfect_on_goldens(spark, fixture_cfg, fixture_paths):
     for cat in ("watermark", "text"):
         assert res.loc[cat, "precision"] == 1.0, res
         assert res.loc[cat, "recall"] == 1.0, res
+        assert res.loc[cat, "ap"] == 1.0, res
+
+
+def _eval_frames(spark, pred_rows, gold_rows):
+    pred = spark.createDataFrame(
+        pred_rows, "url string, sig_id long, category string, "
+                   "begin int, end int, score double")
+    gold = spark.createDataFrame(
+        gold_rows, "url string, sig_id long, category string, "
+                   "begin int, end int, below_threshold boolean")
+    return pred, gold
+
+
+def test_eval_ap_hand_computed(spark):
+    """AP on a known FP/FN mix, hand-computed:
+    2 goldens; preds ranked by score = [TP(0.9), FP(0.8), TP(0.7)]
+    → PR points (1.0, .5), (.5, .5), (.667, 1.0); all-point envelope
+    AP = 0.5·1.0 + 0.5·(2/3) = 0.8333."""
+    from jobs.eval_ap import evaluate
+
+    pred, gold = _eval_frames(
+        spark,
+        [("u1", 0, "watermark", 10, 20, 0.9),   # exact hit on g1
+         ("u2", 0, "watermark", 500, 510, 0.8),  # no golden → FP
+         ("u3", 0, "watermark", 30, 40, 0.7)],   # exact hit on g2
+        [("u1", 0, "watermark", 10, 20, False),
+         ("u3", 0, "watermark", 30, 40, False)],
+    )
+    res = evaluate(pred, gold).toPandas().set_index("category")
+    assert res.loc["watermark", "tp"] == 2
+    assert res.loc["watermark", "fp"] == 1
+    assert res.loc["watermark", "fn"] == 0
+    assert res.loc["watermark", "ap"] == 0.8333, res
+
+
+def test_eval_one_to_one_matching(spark):
+    """Multiple preds on one golden within a key must NOT cross-product:
+    exactly one TP, the rest FP (the COCO one-to-one rule); and a pred
+    key with two goldens consumes each golden at most once."""
+    from jobs.eval_ap import evaluate
+
+    # 1 golden, 2 overlapping preds on the same (url, sig_id)
+    pred, gold = _eval_frames(
+        spark,
+        [("u1", 0, "watermark", 10, 20, 0.9),
+         ("u1", 0, "watermark", 11, 20, 0.8)],
+        [("u1", 0, "watermark", 10, 20, False)],
+    )
+    res = evaluate(pred, gold).toPandas().set_index("category")
+    assert res.loc["watermark", "tp"] == 1 and res.loc["watermark", "fp"] == 1
+    assert res.loc["watermark", "fn"] == 0
+
+    # 2 distant goldens same key, 2 preds: each matches its own golden
+    pred, gold = _eval_frames(
+        spark,
+        [("u1", 0, "watermark", 10, 20, 0.9),
+         ("u1", 0, "watermark", 100, 110, 0.8)],
+        [("u1", 0, "watermark", 10, 20, False),
+         ("u1", 0, "watermark", 100, 110, False)],
+    )
+    res = evaluate(pred, gold).toPandas().set_index("category")
+    assert res.loc["watermark", "tp"] == 2 and res.loc["watermark", "fp"] == 0
+
+
+def test_eval_ap_multi_iou(spark):
+    """evaluate_ap reproduces the reference's AP50/AP75 metric shape; a
+    sloppy-boundary pred (IoU≈0.6) counts at 0.5 but not at 0.75."""
+    from jobs.eval_ap import evaluate_ap
+
+    pred, gold = _eval_frames(
+        spark,
+        [("u1", 0, "watermark", 10, 22, 0.9)],   # IoU vs [10,20) = 10/12 ≈ .83
+        [("u1", 0, "watermark", 10, 20, False)],
+    )
+    res = evaluate_ap(pred, gold, iou_thresholds=(0.5, 0.9)).toPandas()
+    row = res.set_index("category").loc["watermark"]
+    assert row["ap50"] == 1.0
+    assert row["ap90"] == 0.0
+    assert row["ap_mean"] == 0.5

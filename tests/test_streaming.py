@@ -218,3 +218,17 @@ def test_stream_stream_join_validity(spark, fixture_cfg, fixture_paths,
         "inner",
     ).count()
     assert len(got) == want_n
+
+
+def test_parse_gap_seconds_units():
+    """Gap strings parse per unit and reject garbage (silently treating
+    '1 hour' as seconds was a sessionization footgun)."""
+    from watermark_detector_spark.streaming.state import parse_gap_seconds
+
+    assert parse_gap_seconds("30 seconds") == 30
+    assert parse_gap_seconds("5 minutes") == 300
+    assert parse_gap_seconds("1 hour") == 3600
+    assert parse_gap_seconds("2 days") == 172800
+    for bad in ("5 fortnights", "minutes", "1.5 minutes", ""):
+        with pytest.raises(ValueError):
+            parse_gap_seconds(bad)

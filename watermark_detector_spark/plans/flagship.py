@@ -123,30 +123,41 @@ def kept_detections_fused(pages: DataFrame, signatures: list[Signature],
 
 def window_agg(kept: DataFrame, window: str = "1 minute",
                slide: str | None = None, watermark: str | None = None) -> DataFrame:
-    """Tumbling (or sliding) per-domain window aggregation.
+    """Tumbling (or sliding) per-domain window aggregation — ONE
+    definition for batch and streaming.
 
     With ``watermark`` set (streaming), state for a window is dropped
     once the event-time watermark passes its end; late rows beyond it
-    are discarded — the engine's late-data-drop contract."""
+    are discarded — the engine's late-data-drop contract. The doc count
+    switches with the mode: exact ``countDistinct`` in batch,
+    ``approx_count_distinct`` (``n_docs_approx``) under a watermark —
+    exact distinct per window is unsupported in streaming, and at 100 TB
+    the approx sketch is the right hot-aggregate anyway (exact counts
+    belong in a sink-side finalize when required)."""
     df = kept
-    if watermark:
+    streaming = watermark is not None
+    if streaming:
         df = df.withWatermark("warc_ts", watermark)
     win = F.window("warc_ts", window, slide) if slide else F.window("warc_ts", window)
+    doc_count = (
+        F.approx_count_distinct("url").alias("n_docs_approx")
+        if streaming
+        else F.countDistinct("url").alias("n_docs")
+    )
     return (
         df.groupBy(win.alias("window"), "domain")
         .agg(
-            F.approx_count_distinct("url").alias("n_docs_approx"),
-            F.countDistinct("url").alias("n_docs"),
             F.count(F.lit(1)).alias("n_detections"),
             F.avg("score").alias("avg_score"),
             F.sum(F.when(F.col("category") == "watermark", 1).otherwise(0)).alias("n_watermark"),
             F.sum(F.when(F.col("category") == "text", 1).otherwise(0)).alias("n_text"),
+            doc_count,
         )
         .select(
             "domain",
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
-            "n_docs",
+            "n_docs_approx" if streaming else "n_docs",
             "n_detections",
             "avg_score",
             "n_watermark",
@@ -166,34 +177,11 @@ def flagship_batch(pages: DataFrame, signatures: list[Signature],
 def flagship_stream(pages_stream: DataFrame, signatures: list[Signature],
                     window: str = "1 minute", watermark: str = "10 minutes",
                     from_html: bool = True) -> DataFrame:
-    """Same plan under readStream + event-time watermark.
-
-    Note: streaming distinct-count per window isn't supported, so the
-    streaming variant counts docs exactly via a pre-dedup on
-    (url, window) being unnecessary here — each url contributes one row
-    per (sig region), and n_docs is computed by the sink-side batch
-    finalize in foreachBatch when exact distinct counts are required.
-    Here we emit count + approx_count_distinct, which IS
-    streaming-supported."""
-    df = kept_detections_fused(pages_stream, signatures, from_html=from_html)
-    df = df.withWatermark("warc_ts", watermark)
-    return (
-        df.groupBy(F.window("warc_ts", window).alias("window"), "domain")
-        .agg(
-            F.count(F.lit(1)).alias("n_detections"),
-            F.avg("score").alias("avg_score"),
-            F.sum(F.when(F.col("category") == "watermark", 1).otherwise(0)).alias("n_watermark"),
-            F.sum(F.when(F.col("category") == "text", 1).otherwise(0)).alias("n_text"),
-            F.approx_count_distinct("url").alias("n_docs_approx"),
-        )
-        .select(
-            "domain",
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "n_detections",
-            "avg_score",
-            "n_watermark",
-            "n_text",
-            "n_docs_approx",
-        )
+    """Same plan under readStream + event-time watermark (the shared
+    window_agg switches the doc count to the streaming-supported
+    approx sketch)."""
+    return window_agg(
+        kept_detections_fused(pages_stream, signatures, from_html=from_html),
+        window=window,
+        watermark=watermark,
     )

@@ -149,13 +149,34 @@ def _session_fn_factory(gap_s: int):
     return _fn
 
 
+_GAP_UNIT_S = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def parse_gap_seconds(gap: str) -> int:
+    """'<n> <unit>' → seconds; raises on any unrecognized unit instead
+    of silently misparsing ('1 hour' treated as seconds was a footgun)."""
+    num, _, unit = gap.strip().partition(" ")
+    unit = unit.strip().lower()
+    if not num.isdigit() or unit not in _GAP_UNIT_S:
+        raise ValueError(
+            f"unparseable gap {gap!r}: expected '<int> "
+            f"{'|'.join(sorted(set(_GAP_UNIT_S)))}'"
+        )
+    return int(num) * _GAP_UNIT_S[unit]
+
+
 def session_stats(kept: DataFrame, gap: str = "5 minutes",
                   watermark: str = "10 minutes") -> DataFrame:
     """Custom sessionization via the state store (EventTimeTimeout) —
     the hand-rolled equivalent of ``F.session_window`` demonstrating
     applyInPandasWithState with timeouts; ``operators.windows`` exposes
     the built-in variant."""
-    gap_s = int(gap.split()[0]) * (60 if "minute" in gap else 1)
+    gap_s = parse_gap_seconds(gap)
     return (
         kept.withWatermark("warc_ts", watermark)
         .groupBy("domain")
