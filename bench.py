@@ -175,6 +175,32 @@ def main() -> None:
     if sustained:
         extras["docs_per_sec_stream_sustained"] = round(max(sustained), 1)
 
+    # --- detector scan microbench: flat-in-n_sigs evidence ---------------
+    # (pure-python, driver-side: isolates the per-doc scan cost of the
+    # two strategies; the >=128-sig token scan is what keeps a 5k-entry
+    # signature table from dominating the 100 TB hot path)
+    from watermark_detector_spark.fixtures import _domains, gen_doc
+    from watermark_detector_spark.functions.core import (
+        CompiledDetector,
+        detect_text,
+        make_signatures,
+    )
+
+    micro_cfg = FixtureConfig(n_docs=100, min_words=200, max_words=500)
+    micro_texts = [gen_doc(i, micro_cfg, _domains(micro_cfg))["text"]
+                   for i in range(100)]
+    for n_sigs in (400, 5000):
+        sigs_m = make_signatures(n_sigs)
+        by_id = {s.sig_id: s for s in sigs_m}
+        for label, thr in (("probe", 10**9), ("token", 0)):
+            det = CompiledDetector(sigs_m, token_scan_threshold=thr)
+            t0 = time.time()
+            for txt in micro_texts:
+                detect_text(txt, by_id, det)
+            extras[f"detect_us_per_doc_{n_sigs}sigs_{label}"] = round(
+                (time.time() - t0) / len(micro_texts) * 1e6, 1
+            )
+
     # --- testdata heavyweights at SF_DIR ---------------------------------
     if not SKIP_TESTDATA:
         import __spark_entry__ as entrymod

@@ -126,3 +126,36 @@ def test_detect_never_crashes_on_arbitrary_text(text):
     for sid, cat, b, e, s in out:
         assert 0 <= b < e <= len(text)
         assert 0.0 < s <= 1.0
+
+
+def test_token_scan_equals_probe_scan():
+    """The two pre-scan strategies (str.find probes vs single-pass
+    token-dict scan) must produce identical detections on every fixture
+    doc — the equivalence that lets the detector switch to the flat-in-
+    n_sigs scanner for >256-signature tables."""
+    from watermark_detector_spark.functions.core import CompiledDetector
+
+    det_probe = CompiledDetector(SIGS, token_scan_threshold=10**9)
+    det_token = CompiledDetector(SIGS, token_scan_threshold=0)
+    assert not det_probe.use_token_scan and det_token.use_token_scan
+    n_docs_with_hits = 0
+    for i in range(CFG.n_docs):
+        d = gen_doc(i, CFG, DOMAINS)
+        a = detect_text(d["text"], BY_ID, det_probe)
+        b = detect_text(d["text"], BY_ID, det_token)
+        assert a == b, f"doc {i}"
+        n_docs_with_hits += bool(a)
+    assert n_docs_with_hits > 10  # the comparison actually exercised hits
+
+
+def test_token_scan_default_kicks_in_at_large_sig_count():
+    """build_detector auto-selects the flat scanner for big tables and
+    stays golden-exact there (300 sigs >= threshold 256)."""
+    big = make_signatures(300)
+    det = build_detector(big)
+    assert det.use_token_scan
+    by_id = {s.sig_id: s for s in big}
+    text = f"pad {big[7].pattern} mid {big[123].pattern} tail"
+    got = detect_text(text, by_id, det)
+    assert {g[0] for g in got} == {7, 123}
+    assert all(g[4] == pytest.approx(by_id[g[0]].weight) for g in got)

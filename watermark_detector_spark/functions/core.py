@@ -132,28 +132,102 @@ def _sig_regex(sig: Signature) -> str:
     return rx + tail
 
 
+# Measured crossover (~350-word docs): probe scales linearly in n_sigs
+# (45 us/doc @25 → 6,640 @5k); token scan is flat (~120-185 us/doc at any
+# count). They cross at ~100-130 signatures.
+_TOKEN_SCAN_THRESHOLD = 128
+_TOKEN_RE_SCAN = re.compile(r"\S+")
+
+
 class CompiledDetector:
-    """Per-signature anchored matchers behind a C-speed pre-probe.
+    """Per-signature anchored matchers behind one of two pre-scan
+    strategies, picked by signature count (the hot path at 100 TB):
 
-    Scanning strategy (the hot path at 100 TB): for each signature, find
-    occurrences of its first token with ``str.find`` (memchr-speed), then
-    confirm with the signature's anchored regex at that position. This
-    replaces a 25-way regex alternation scan (which tries every branch
-    at every character) with substring probes — ~10x faster per doc and
-    identical results on non-pathological inputs; signatures of
-    different ids may overlap (each is scanned independently)."""
+    - ``probes`` (small sets): for each signature, find occurrences of
+      its first token with ``str.find`` (memchr-speed), then confirm
+      with the signature's anchored regex at that position. ~10x faster
+      than a regex alternation, but cost is O(n_sigs × doc_len).
+    - ``token scan`` (>= ``_TOKEN_SCAN_THRESHOLD`` sigs): the
+      Aho-Corasick-shaped single pass — tokenize the doc ONCE, hash each
+      token into an anchor→signatures dict, confirm hits with the same
+      per-signature regex. Cost is O(doc_tokens) + O(hits), flat in
+      n_sigs — the multi-pattern scan that keeps a >1k-signature table
+      from dominating the pipeline.
 
-    __slots__ = ("sigs", "probes")
+    Both confirm with identical regexes and honor the same
+    resume-after-match rule, so results are identical on token-separated
+    text (t:test_token_scan_equals_probe_scan)."""
 
-    def __init__(self, signatures: list[Signature]):
+    __slots__ = ("sigs", "probes", "anchor_map", "use_token_scan")
+
+    def __init__(self, signatures: list[Signature],
+                 token_scan_threshold: int = _TOKEN_SCAN_THRESHOLD):
         self.sigs = list(signatures)
         self.probes = [
             (sig, sig.tokens[0], re.compile(_sig_regex(sig))) for sig in signatures
         ]
+        self.anchor_map: dict[str, list] = {}
+        for sig, anchor, rx in self.probes:
+            self.anchor_map.setdefault(anchor, []).append((sig, rx))
+        self.use_token_scan = len(signatures) >= token_scan_threshold
 
 
 def build_detector(signatures: list[Signature]) -> CompiledDetector:
     return CompiledDetector(signatures)
+
+
+def _raw_matches_probe(text: str, detector: CompiledDetector) -> list:
+    """str.find pre-probe per signature (small signature sets)."""
+    raw: list[tuple[int, int, int, float]] = []
+    find = text.find
+    for sig, anchor, rx in detector.probes:
+        pos = find(anchor)
+        if pos == -1:
+            continue
+        n_tokens = len(sig.tokens)
+        last_tok = sig.tokens[-1]
+        while pos != -1:
+            m = rx.match(text, pos)
+            if m is None:
+                pos = find(anchor, pos + 1)
+                continue
+            raw.append(_scored(sig, m, n_tokens, last_tok))
+            pos = find(anchor, m.end())
+    return raw
+
+
+def _raw_matches_token_scan(text: str, detector: CompiledDetector) -> list:
+    """Single tokenizing pass + anchor dict (large signature sets).
+    ``last_end`` reproduces the probe scanner's resume-after-match rule
+    (never re-fire a signature inside its own previous match)."""
+    raw: list[tuple[int, int, int, float]] = []
+    anchor_map = detector.anchor_map
+    last_end: dict[int, int] = {}
+    for tok_m in _TOKEN_RE_SCAN.finditer(text):
+        entries = anchor_map.get(tok_m.group())
+        if entries is None:
+            continue
+        pos = tok_m.start()
+        for sig, rx in entries:
+            if pos < last_end.get(sig.sig_id, 0):
+                continue
+            m = rx.match(text, pos)
+            if m is None:
+                continue
+            raw.append(_scored(sig, m, len(sig.tokens), sig.tokens[-1]))
+            last_end[sig.sig_id] = m.end()
+    return raw
+
+
+def _scored(sig: Signature, m: re.Match, n_tokens: int, last_tok: str):
+    matched = m.group(0)
+    n_matched = matched.count(" ") + 1
+    if n_matched == n_tokens:
+        digit_exact = matched.rsplit(" ", 1)[1] == last_tok
+    else:
+        digit_exact = True  # digit token not part of a truncated match
+    return (sig.sig_id, m.start(), m.end(),
+            span_score(sig.weight, n_matched, n_tokens, digit_exact))
 
 
 def detect_text(
@@ -171,30 +245,10 @@ def detect_text(
     """
     if not text:
         return []
-    raw: list[tuple[int, int, int, float]] = []  # (sig_id, begin, end, score)
-    find = text.find
-    for sig, anchor, rx in detector.probes:
-        pos = find(anchor)
-        if pos == -1:
-            continue
-        n_tokens = len(sig.tokens)
-        last_tok = sig.tokens[-1]
-        while pos != -1:
-            m = rx.match(text, pos)
-            if m is None:
-                pos = find(anchor, pos + 1)
-                continue
-            matched = m.group(0)
-            n_matched = matched.count(" ") + 1
-            if n_matched == n_tokens:
-                digit_exact = matched.rsplit(" ", 1)[1] == last_tok
-            else:
-                digit_exact = True  # digit token not part of a truncated match
-            raw.append(
-                (sig.sig_id, m.start(), m.end(),
-                 span_score(sig.weight, n_matched, n_tokens, digit_exact))
-            )
-            pos = find(anchor, m.end())
+    if detector.use_token_scan:
+        raw = _raw_matches_token_scan(text, detector)
+    else:
+        raw = _raw_matches_probe(text, detector)
     # merge same-signature spans whose gap <= MERGE_GAP (dilation analog)
     raw.sort(key=lambda r: (r[0], r[1]))
     merged: list[list] = []
