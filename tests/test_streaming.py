@@ -232,3 +232,27 @@ def test_parse_gap_seconds_units():
     for bad in ("5 fortnights", "minutes", "1.5 minutes", ""):
         with pytest.raises(ValueError):
             parse_gap_seconds(bad)
+
+
+def test_sink_hadoop_fs_uri_root(spark, tmp_path_factory):
+    """The exactly-once sink must run against a scheme-qualified root
+    through the Hadoop FileSystem API (the 100 TB object-store posture:
+    no driver-local os.* in the protocol). file:// is the scheme the
+    sandbox can exercise; hdfs/s3a differ only in the connector."""
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    root = "file://" + str(tmp_path_factory.mktemp("sink_uri"))
+    sink = ExactlyOnceParquetSink(root, output_partitions=2)
+    df = spark.range(100).withColumnRenamed("id", "v")
+    sink.write_batch(df, 0)
+    sink.write_batch(df.where("v < 10"), 1)
+    assert sink.committed_batches() == [0, 1]
+    man = sink.manifest()
+    assert [m["n_rows"] for m in man] == [100, 10]
+    assert all(m["n_files"] >= 1 for m in man)
+    # replay of a committed batch is a no-op (manifest timestamp frozen)
+    t0 = man[0]["committed_at_epoch"]
+    sink.write_batch(df, 0)
+    assert sink.manifest()[0]["committed_at_epoch"] == t0
+    got = sink.read(spark)
+    assert got.count() == 110

@@ -16,8 +16,13 @@ Protocol (Iceberg-style snapshot log, no Iceberg jar needed):
    data write and manifest write leaves an invisible orphan that the
    replay overwrites.
 
-At 100 TB this is the same protocol, with the manifest directory on the
-object store and the rename replaced by a conditional PUT.
+ALL manifest/listing IO goes through the Hadoop FileSystem API resolved
+from the root URI (``_HadoopFS``), so the same protocol runs unchanged
+against file://, hdfs:// or s3a:// roots — whatever connector is on the
+classpath. On object stores without atomic rename the rename step is
+the one to swap for a conditional PUT; the protocol is otherwise
+rename-free. A pure-``os`` fallback shim covers manifest reads after
+the SparkSession is gone (local roots only).
 """
 
 from __future__ import annotations
@@ -29,6 +34,87 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+class _HadoopFS:
+    """Minimal FS shim over ``org.apache.hadoop.fs.FileSystem`` (py4j):
+    scheme-aware (file/hdfs/s3a/...), no driver-local ``os.*`` calls."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(self._conf)
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._Path(p))
+
+    def listdir(self, p: str) -> list[str]:
+        if not self.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(self._Path(p))]
+
+    def write_atomic(self, p: str, text: str) -> None:
+        tmp = self._Path(p + ".tmp")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        # rename does not overwrite an existing destination; the caller
+        # guarantees absence (committed batches short-circuit earlier)
+        self._fs.rename(tmp, self._Path(p))
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def parquet_rows(self, p: str) -> int:
+        """Row count from the parquet footer via the Hadoop input file —
+        no extra Spark job per batch, works on any FS scheme."""
+        hif = self._jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            self._Path(p), self._conf
+        )
+        reader = self._jvm.org.apache.parquet.hadoop.ParquetFileReader.open(hif)
+        try:
+            return int(reader.getRecordCount())
+        finally:
+            reader.close()
+
+
+class _LocalFS:
+    """os-based fallback for manifest READS when no SparkSession is
+    active (e.g. inspecting a local sink after shutdown)."""
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p) if os.path.isdir(p) else []
+
+    def write_atomic(self, p: str, text: str) -> None:
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, p)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def parquet_rows(self, p: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(p).metadata.num_rows
+
+
 class ExactlyOnceParquetSink:
     def __init__(self, root: str, output_partitions: int | None = 8):
         # window-agg output per batch is small relative to input; coalesce
@@ -37,28 +123,37 @@ class ExactlyOnceParquetSink:
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifest")
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self._fs_cache = None
+
+    @property
+    def fs(self):
+        if self._fs_cache is None:
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                self._fs_cache = _HadoopFS(spark, self.root)
+            elif "://" not in self.root:
+                return _LocalFS()  # uncached: prefer Hadoop once a session exists
+            else:
+                raise RuntimeError(
+                    f"no active SparkSession to resolve filesystem for {self.root}"
+                )
+        return self._fs_cache
 
     # -- write side (foreachBatch) ----------------------------------------
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        fs = self.fs
         manifest_path = os.path.join(self.manifest_dir, f"{batch_id}.json")
-        if os.path.exists(manifest_path):
+        if fs.exists(manifest_path):
             # replayed batch already committed — exactly-once no-op
             return
+        fs.mkdirs(self.data_dir)
+        fs.mkdirs(self.manifest_dir)
         path = os.path.join(self.data_dir, f"batch_id={batch_id}")
         if self.output_partitions:
             df = df.coalesce(self.output_partitions)
         df.write.mode("overwrite").parquet(path)
-        files = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        )
-        # row count from parquet footers — no extra Spark job per batch
-        import pyarrow.parquet as pq
-
-        n_rows = sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in files
-        )
+        files = sorted(f for f in fs.listdir(path) if f.endswith(".parquet"))
+        n_rows = sum(fs.parquet_rows(os.path.join(path, f)) for f in files)
         entry = {
             "batch_id": batch_id,
             "n_rows": n_rows,
@@ -66,25 +161,22 @@ class ExactlyOnceParquetSink:
             "files": files,
             "committed_at_epoch": time.time(),
         }
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-        os.replace(tmp, manifest_path)  # atomic publish
+        fs.write_atomic(manifest_path, json.dumps(entry))  # atomic publish
 
     def foreach_batch(self):
         return lambda df, batch_id: self.write_batch(df, batch_id)
 
     # -- read side ---------------------------------------------------------
     def committed_batches(self) -> list[int]:
-        if not os.path.isdir(self.manifest_dir):
-            return []
         return sorted(
-            int(f[:-5]) for f in os.listdir(self.manifest_dir) if f.endswith(".json")
+            int(f[:-5]) for f in self.fs.listdir(self.manifest_dir)
+            if f.endswith(".json")
         )
 
     def manifest(self) -> list[dict]:
+        fs = self.fs
         return [
-            json.load(open(os.path.join(self.manifest_dir, f"{b}.json")))
+            json.loads(fs.read_text(os.path.join(self.manifest_dir, f"{b}.json")))
             for b in self.committed_batches()
         ]
 
