@@ -136,3 +136,38 @@ def test_plan_prunes_and_partial_aggregates(spark, fixture_cfg, fixture_paths):
     assert "html" in read_schema[0]
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning" in plan
+
+
+def test_backfill_multi_source_exactly_once(spark, fixture_cfg, fixture_paths,
+                                            tmp_path_factory):
+    """jobs/backfill sweeps several pages dirs through the fused plan
+    with one manifest entry per source; re-runs are no-ops and a
+    partially-committed sweep resumes at the missing source only."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.backfill import backfill
+    from watermark_detector_spark.fixtures import FixtureConfig, generate
+
+    second = generate(FixtureConfig(n_docs=300),
+                      str(tmp_path_factory.mktemp("fx2")))
+    sources = [fixture_paths["pages"], second["pages"]]
+    sink_root = str(tmp_path_factory.mktemp("backfill_sink"))
+
+    sink = backfill(spark, sources, fixture_cfg.signatures, sink_root)
+    assert sink.committed_batches() == [0, 1]
+    man = sink.manifest()
+    assert all(m["n_rows"] > 0 for m in man)
+    total = sink.read(spark).count()
+    assert total == sum(m["n_rows"] for m in man)
+
+    # idempotent re-run: commit timestamps unchanged
+    stamps = [m["committed_at_epoch"] for m in man]
+    backfill(spark, sources, fixture_cfg.signatures, sink_root)
+    assert [m["committed_at_epoch"] for m in sink.manifest()] == stamps
+
+    # resume: drop one manifest entry -> only that source recomputes
+    import os
+    os.remove(os.path.join(sink_root, "_manifest", "1.json"))
+    backfill(spark, sources, fixture_cfg.signatures, sink_root)
+    assert sink.committed_batches() == [0, 1]
+    assert sink.read(spark).count() == total
