@@ -4,9 +4,14 @@
 ``queries``    — one entry per implemented operator family (SURVEY.md §2
                  + the training-data-pipeline operators: dedup,
                  similarity search, text analysis, multimodal plumbing).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents; streaming /
-                 stateful / UDF-stub queries are intentionally omitted
-                 (rows-only check).
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 46 of the 47
+                 queries, including the streaming/stateful family (q24-
+                 q26: emission rules replayed as batch SQL) and the
+                 multimodal UDF (q27: md5-derived features recomputed in
+                 SQL). Only q28 (the real detect pandas UDF, whose
+                 regex-merge internals are not SQL-expressible) is
+                 rows-only; its SQL analog q23 is oracle-checked and its
+                 semantics are pinned by construction-golden pytests.
 
 Column-name and type discipline (driver hashes values after sorting
 columns by name): every computed column is aliased identically on both

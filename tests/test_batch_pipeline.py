@@ -171,3 +171,33 @@ def test_backfill_multi_source_exactly_once(spark, fixture_cfg, fixture_paths,
     backfill(spark, sources, fixture_cfg.signatures, sink_root)
     assert sink.committed_batches() == [0, 1]
     assert sink.read(spark).count() == total
+
+
+def test_glob_filtered_scan(spark, fixture_paths, tmp_path_factory):
+    """Extension/glob-filtered scan (the reference's filtered directory
+    scans): only files matching pathGlobFilter enter the plan, batch and
+    stream alike."""
+    import glob as pyglob
+    import os
+    import shutil
+
+    src = sorted(pyglob.glob(os.path.join(fixture_paths["pages_stream"], "*.parquet")))
+    assert len(src) >= 2
+    mixed = tmp_path_factory.mktemp("mixed_ext")
+    shutil.copy2(src[0], mixed / "a.parquet")
+    shutil.copy2(src[1], mixed / "b.dat")  # valid parquet, wrong extension
+
+    all_rows = read_pages_batch(spark, str(mixed)).count()
+    only_parquet = read_pages_batch(spark, str(mixed), glob="*.parquet").count()
+    import pyarrow.parquet as pq
+    want = pq.ParquetFile(str(mixed / "a.parquet")).metadata.num_rows
+    assert only_parquet == want
+    assert all_rows > only_parquet
+
+    # streaming side honors the same filter
+    from watermark_detector_spark.sources.pages import read_pages_stream
+    stream = read_pages_stream(spark, str(mixed), glob="*.parquet")
+    q = (stream.writeStream.format("memory").queryName("glob_scan_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("glob_scan_out").count() == want

@@ -256,3 +256,52 @@ def test_sink_hadoop_fs_uri_root(spark, tmp_path_factory):
     assert sink.manifest()[0]["committed_at_epoch"] == t0
     got = sink.read(spark)
     assert got.count() == 110
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, fixture_cfg,
+                                                      fixture_paths,
+                                                      tmp_path_factory):
+    """The Spark-4 state-v2 operator (transformWithStateInPandas +
+    ValueState) must land on the same final per-domain best as the
+    applyInPandasWithState implementation — two stateful APIs, one
+    contract. Where the state-v2 wire protocol is unavailable (no
+    protobuf in this container), the operator must refuse with a clear
+    error instead of crashing the query, and the run is skipped."""
+    from watermark_detector_spark.streaming.state import (
+        HAS_TRANSFORM_WITH_STATE,
+        track_best_v2,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pages0 = read_pages_stream(spark, fixture_paths["pages_stream"])
+        kept0 = kept_detections(detected_pages(pages0, fixture_cfg.signatures))
+        with pytest.raises(RuntimeError, match="transformWithStateInPandas"):
+            track_best_v2(kept0)
+        pytest.skip("state-v2 protocol needs google.protobuf (not in container)")
+
+    root = tmp_path_factory.mktemp("tws")
+    pages = read_pages_stream(spark, fixture_paths["pages_stream"])
+    kept = kept_detections(detected_pages(pages, fixture_cfg.signatures))
+    kept = kept.where(~F.col("url").contains("/flush/"))
+    q = (
+        track_best_v2(kept)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("best_v2_out")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT domain, max(best_score) AS best_score "
+                  "FROM best_v2_out GROUP BY domain")
+        .toPandas().sort_values("domain").reset_index(drop=True)
+    )
+    pages_b = spark.read.parquet(fixture_paths["pages"])
+    want = (
+        kept_detections(detected_pages(pages_b, fixture_cfg.signatures))
+        .groupBy("domain").agg(F.max("score").alias("best_score"))
+        .toPandas().sort_values("domain").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)

@@ -18,21 +18,35 @@ from pyspark.sql import DataFrame, SparkSession
 from ..schemas import PAGES_SCHEMA
 
 
-def read_pages_batch(spark: SparkSession, path: str) -> DataFrame:
+def read_pages_batch(spark: SparkSession, path: str, glob: str | None = None,
+                     recursive: bool = False) -> DataFrame:
+    """Batch scan. ``glob`` filters files by name (``pathGlobFilter``,
+    e.g. '*.parquet') — the engine analog of the reference's
+    extension-filtered directory scans (train_watermarks.py:38-40);
+    ``recursive`` descends nested dirs (``recursiveFileLookup``)."""
     # explicit schema: no inference pass over 100 TB of files
-    return spark.read.schema(PAGES_SCHEMA).parquet(path)
+    reader = spark.read.schema(PAGES_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.parquet(path)
 
 
 def read_pages_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1,
+    glob: str | None = None,
 ) -> DataFrame:
     """File-stream replay of a pages directory; one file == one
-    micro-batch when ``max_files_per_trigger=1`` (mtime order)."""
-    return (
+    micro-batch when ``max_files_per_trigger=1`` (mtime order).
+    ``glob`` filters which files enter the stream (``pathGlobFilter``)."""
+    reader = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(path)
     )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)
 
 
 def read_pages_iceberg(spark: SparkSession, table: str, streaming: bool = True) -> DataFrame:

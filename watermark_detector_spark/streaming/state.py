@@ -149,6 +149,83 @@ def _session_fn_factory(gap_s: int):
     return _fn
 
 
+try:  # Spark 4 arbitrary-state v2 API (transformWithStateInPandas)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class BestScoreProcessor(StatefulProcessor):
+        """``track_best`` re-expressed on the Spark 4 state-v2 API
+        (transformWithStateInPandas + ValueState): same
+        emit-on-improvement contract, equivalence-tested against the
+        applyInPandasWithState implementation
+        (t:test_transform_with_state_matches_apply_in_pandas). The v2
+        API is the forward path — typed state handles (value/list/map),
+        timers, and TTL live on the same RocksDB store."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "best", "best_score double, n_improvements long, n_seen long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (domain,) = key
+            if self._state.exists():
+                best, n_impr, n_seen = self._state.get()
+            else:
+                best, n_impr, n_seen = float("-inf"), 0, 0
+            improved = False
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n_seen += len(pdf)
+                batch_max = float(pdf["score"].max())
+                if batch_max > best:
+                    best, n_impr, improved = batch_max, n_impr + 1, True
+            self._state.update((best, n_impr, n_seen))
+            if improved:
+                yield pd.DataFrame(
+                    [{"domain": domain, "best_score": best,
+                      "n_improvements": n_impr, "n_seen": n_seen}]
+                )
+
+        def close(self) -> None:
+            pass
+
+    # the state-v2 wire protocol between JVM and the python driver
+    # worker is protobuf-based; without google.protobuf the query
+    # crashes at init, so gate on BOTH imports
+    import google.protobuf  # noqa: F401
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - pyspark < 4 or no protobuf
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+def track_best_v2(kept: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """``track_best`` on transformWithStateInPandas (state v2). Requires
+    the RocksDB state store provider (session.engine_conf sets it) and
+    the protobuf package (the state-v2 JVM↔python protocol); raises a
+    clear error where either is missing instead of crashing the query."""
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            "transformWithStateInPandas unavailable: requires pyspark >= 4.0 "
+            "AND the google.protobuf package (state-v2 wire protocol). "
+            "Use streaming.state.track_best (applyInPandasWithState) instead."
+        )
+    return (
+        kept.withWatermark("warc_ts", watermark)
+        .groupBy("domain")
+        .transformWithStateInPandas(
+            statefulProcessor=BestScoreProcessor(),
+            outputStructType=BEST_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 _GAP_UNIT_S = {
     "second": 1, "seconds": 1,
     "minute": 60, "minutes": 60,
