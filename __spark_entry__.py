@@ -4,7 +4,7 @@
 ``queries``    — one entry per implemented operator family (SURVEY.md §2
                  + the training-data-pipeline operators: dedup,
                  similarity search, text analysis, multimodal plumbing).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 46 of the 47
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 49 of the 50
                  queries, including the streaming/stateful family (q24-
                  q26: emission rules replayed as batch SQL) and the
                  multimodal UDF (q27: md5-derived features recomputed in
@@ -697,6 +697,81 @@ def _q28_detect_udf_docs(spark, sf: str) -> DataFrame:
     )
 
 
+def _q48_stream_sliding(spark, sf: str) -> DataFrame:
+    """Streaming SLIDING window agg (15 min window / 5 min slide) with
+    watermark, append mode. Oracle: every event belongs to exactly 3
+    slides; emission rule = window end <= final watermark."""
+    src, tmp = _events_stream(spark, sf)
+    name = "wmd_q48_" + uuid.uuid4().hex[:8]
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("win.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    _run_to_memory(agg, name, "append")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+def _q49_stream_stream_join(spark, sf: str) -> DataFrame:
+    """Stream-stream interval join: each 'error' joined to the same
+    user's 'click' events within the preceding 30 minutes, watermarks on
+    both sides. With availableNow over one batch every match emits, so
+    the oracle is the plain batch interval join."""
+    src, tmp = _events_stream(spark, sf)
+    errors = (
+        src.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"),
+                F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "30 minutes")
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("click_user"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("err_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "inner",
+    ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
+    name = "wmd_q49_" + uuid.uuid4().hex[:8]
+    _run_to_memory(joined, name, "append")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+def _q50_stream_session_window(spark, sf: str) -> DataFrame:
+    """Built-in session_window on a STREAM (30-minute gap) with
+    watermark, append mode — emitted sessions are those whose end
+    (last event + gap) <= final watermark; the oracle replays gap
+    sessionization + that emission rule in batch SQL."""
+    src, tmp = _events_stream(spark, sf)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("w.end"), _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+        )
+    )
+    name = "wmd_q50_" + uuid.uuid4().hex[:8]
+    _run_to_memory(agg, name, "append")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -746,6 +821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_dedup_stream": _q26_dedup_stream,
         "q27_multimodal_features": _q27_multimodal_features,
         "q28_detect_udf_docs": _q28_detect_udf_docs,
+        "q48_stream_sliding": _q48_stream_sliding,
+        "q49_stream_stream_join": _q49_stream_stream_join,
+        "q50_stream_session_window": _q50_stream_session_window,
     }
 
 
@@ -1200,6 +1278,60 @@ def oracle_sql() -> dict[str, str]:
         # every key stays inside the watermark horizon of the run
         "q26_dedup_stream": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # q48: sliding windows — each event lands in 3 slides; same
+        # append-emission rule as q24
+        "q48_stream_sliding": f"""
+            WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+            slides AS (
+              SELECT time_bucket(INTERVAL 5 MINUTE, ts)
+                       - (k * INTERVAL 5 MINUTE) AS ws,
+                     event_type, value
+              FROM events, unnest([0, 1, 2]) AS t(k)),
+            agg AS (
+              SELECT ws, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(value), 4) AS sum_value
+              FROM slides GROUP BY 1, 2)
+            SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+                   event_type, n_events, sum_value
+            FROM agg, wm WHERE ws + INTERVAL 15 MINUTE <= wm.w
+        """,
+        # q49: single-batch stream-stream inner join == batch interval join
+        "q49_stream_stream_join": """
+            SELECT e.event_id AS err_id, c.event_id AS click_id,
+                   e.user_id
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = e.user_id
+             AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
+        """,
+        # q50: gap sessionization + append emission (session end + gap
+        # <= final watermark)
+        "q50_stream_session_window": f"""
+            WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+            e AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM e),
+            sess AS (
+              SELECT user_id,
+                     MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM s GROUP BY user_id, sess_id)
+            SELECT user_id,
+                   strftime(session_start, '{_TS_FMT_DUCK}') AS session_start,
+                   strftime(session_end, '{_TS_FMT_DUCK}') AS session_end,
+                   n_events
+            FROM sess, wm WHERE session_end <= wm.w
         """,
         # q27: md5-derived fake features recomputed byte-for-byte
         "q27_multimodal_features": f"""

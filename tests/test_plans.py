@@ -107,3 +107,36 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS wmd_bkt_a")
         spark.sql("DROP TABLE IF EXISTS wmd_bkt_b")
+
+
+def test_similarity_dedup_plans_never_cartesian(spark):
+    """Scale-path plan audit: the LSH candidate join shuffles on
+    (table, bucket); near_dup_pairs computes intersections only via
+    candidate equi-joins; the block-GEMM cosine groups on block pairs.
+    None of them may plan a cartesian/nested-loop product."""
+    from watermark_detector_spark.functions.similarity import (
+        cosine_pairs,
+        lsh_candidate_pairs,
+    )
+    from watermark_detector_spark.operators.dedup import near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for df in (
+        lsh_candidate_pairs(emb, dim=64, n_planes=4, n_tables=2),
+        near_dup_pairs(docs, threshold=0.5),
+        cosine_pairs(emb, 0.45, rows_per_block=200),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    lsh_plan = (
+        lsh_candidate_pairs(emb, dim=64, n_planes=4, n_tables=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # equi-join on the bucket key: either a hash shuffle on
+    # (_table, _bucket) (big-big at scale) or a broadcast hash join
+    # (small side at test scale) — both keyed, never all-pairs
+    assert ("hashpartitioning(_table" in lsh_plan
+            or "BroadcastHashJoin [_table" in lsh_plan
+            or "BroadcastHashJoin" in lsh_plan), lsh_plan
