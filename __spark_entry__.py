@@ -4,7 +4,7 @@
 ``queries``    — one entry per implemented operator family (SURVEY.md §2
                  + the training-data-pipeline operators: dedup,
                  similarity search, text analysis, multimodal plumbing).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 49 of the 50
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 50 of the 51
                  queries, including the streaming/stateful family (q24-
                  q26: emission rules replayed as batch SQL) and the
                  multimodal UDF (q27: md5-derived features recomputed in
@@ -697,6 +697,35 @@ def _q28_detect_udf_docs(spark, sf: str) -> DataFrame:
     )
 
 
+def _q51_curation_pipeline(spark, sf: str) -> DataFrame:
+    """End-to-end training-data curation composition: language-ID →
+    quality gate → token-length bounds → exact-dup keeper selection.
+    One pass + one short-key shuffle — the LLM-corpus filter shape at
+    100 TB (every stage is a codegen expression; dedup shuffles on the
+    5-token prefix key only)."""
+    from watermark_detector_spark.functions.text import prefix_fingerprint
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_guess(F.col("text")).alias("lang_guess"),
+        prefix_fingerprint(F.col("text"), 5).alias("dup_key"),
+    )
+    keepers = scored.groupBy("dup_key").agg(F.min("doc_id").alias("keeper_id"))
+    return (
+        scored.join(keepers, "dup_key")
+        .where(
+            (F.col("doc_id") == F.col("keeper_id"))
+            & (F.col("lang_guess") == "en")
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tokens").between(20, 5000)
+        )
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
 def _q48_stream_sliding(spark, sf: str) -> DataFrame:
     """Streaming SLIDING window agg (15 min window / 5 min slide) with
     watermark, append mode. Oracle: every event belongs to exactly 3
@@ -821,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_dedup_stream": _q26_dedup_stream,
         "q27_multimodal_features": _q27_multimodal_features,
         "q28_detect_udf_docs": _q28_detect_udf_docs,
+        "q51_curation_pipeline": _q51_curation_pipeline,
         "q48_stream_sliding": _q48_stream_sliding,
         "q49_stream_stream_join": _q49_stream_stream_join,
         "q50_stream_session_window": _q50_stream_session_window,
@@ -1217,6 +1247,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM per_doc GROUP BY source
+        """,
+        "q51_curation_pipeline": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                     CAST((length(' ' || text || ' ')
+                           - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+                          AS BIGINT) AS stop_hits,
+                     array_to_string(list_slice(
+                       regexp_split_to_array(trim(text), '\\s+'), 1, 5), ' ') AS dup_key
+              FROM documents),
+            q AS (
+              SELECT doc_id, n_tokens, dup_key, text,
+                     round(least(1.0, (1.0 * stop_hits / greatest(n_tokens, 1) * 4 + 0.2)
+                           * (CASE WHEN n_tokens BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END)), 4)
+                       AS quality
+              FROM base),
+            lg AS (
+              SELECT doc_id,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ' ')))/4 AS BIGINT) AS en,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' el ', ' ')))/3 AS BIGINT) AS es,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' der ', ' ')))/4 AS BIGINT) AS de,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' le ', ' ')))/3 AS BIGINT) AS fr,
+                CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' os ', ' ')))/3 AS BIGINT) AS pt
+              FROM documents),
+            lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en, es, de, fr, pt) = 0 THEN 'und'
+                          WHEN en = greatest(en, es, de, fr, pt) THEN 'en'
+                          WHEN es = greatest(en, es, de, fr, pt) THEN 'es'
+                          WHEN de = greatest(en, es, de, fr, pt) THEN 'de'
+                          WHEN fr = greatest(en, es, de, fr, pt) THEN 'fr'
+                          ELSE 'pt' END AS lang_guess
+              FROM lg),
+            keepers AS (SELECT dup_key, min(doc_id) AS keeper_id FROM q GROUP BY 1)
+            SELECT q.doc_id, q.n_tokens, q.quality
+            FROM q JOIN keepers USING (dup_key) JOIN lang USING (doc_id)
+            WHERE q.doc_id = keepers.keeper_id AND lang.lang_guess = 'en'
+              AND q.quality >= 0.5 AND q.n_tokens BETWEEN 20 AND 5000
         """,
         "q44_lsh_ann_candidates": _lsh_candidates_sql(),
         "q45_near_dup_pairs": f"""
