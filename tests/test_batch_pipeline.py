@@ -201,3 +201,30 @@ def test_glob_filtered_scan(spark, fixture_paths, tmp_path_factory):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.table("glob_scan_out").count() == want
+
+
+def test_flagship_robust_to_null_malformed_and_empty(spark, fixture_cfg):
+    """At 100 TB a few bad rows are guaranteed: null payloads, truncated
+    html, and empty partitions must flow through the fused plan without
+    failing the job (and without fabricating detections)."""
+    import datetime
+
+    sig = fixture_cfg.signatures[0]
+    ts = datetime.datetime(2025, 2, 17)
+    rows = [
+        ("https://a.example.com/1", ts, None, "en"),                       # null payload
+        ("https://a.example.com/2", ts, b"<html><main>truncat", "en"),     # malformed
+        ("https://a.example.com/3", ts, b"\xff\xfe garbage bytes", "en"),  # not html
+        ("https://a.example.com/4", ts,
+         f"<html><body><main>{sig.pattern}</main></body></html>".encode(), "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string")
+    out = flagship_batch(pages, fixture_cfg.signatures).toPandas()
+    # only the well-formed page with a real signature produces a window
+    assert out["n_detections"].sum() == 1
+    assert (out["domain"] == "example.com").all()
+
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, lang string")
+    assert flagship_batch(empty, fixture_cfg.signatures).count() == 0

@@ -104,7 +104,20 @@ def detection_rows_fused(pages: DataFrame, signatures: list[Signature],
                     out["begin"].append(b)
                     out["end"].append(e)
                     out["score"].append(s)
-            yield pd.DataFrame(out)
+            # explicit dtypes: a batch with ZERO detections must still
+            # carry Arrow-castable columns (an untyped empty frame
+            # defaults warc_ts to float64 and kills the task — an
+            # all-negative partition is routine at corpus scale)
+            yield pd.DataFrame({
+                "url": pd.Series(out["url"], dtype="object"),
+                "warc_ts": pd.Series(out["warc_ts"], dtype="datetime64[us]"),
+                "lang": pd.Series(out["lang"], dtype="object"),
+                "sig_id": pd.Series(out["sig_id"], dtype="int64"),
+                "category": pd.Series(out["category"], dtype="object"),
+                "begin": pd.Series(out["begin"], dtype="int32"),
+                "end": pd.Series(out["end"], dtype="int32"),
+                "score": pd.Series(out["score"], dtype="float64"),
+            })
 
     cols = ["url", "warc_ts", "lang"] + (["html"] if from_html else ["text"])
     return (
