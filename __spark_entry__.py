@@ -4,7 +4,7 @@
 ``queries``    — one entry per implemented operator family (SURVEY.md §2
                  + the training-data-pipeline operators: dedup,
                  similarity search, text analysis, multimodal plumbing).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 50 of the 51
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 51 of the 52
                  queries, including the streaming/stateful family (q24-
                  q26: emission rules replayed as batch SQL) and the
                  multimodal UDF (q27: md5-derived features recomputed in
@@ -697,6 +697,27 @@ def _q28_detect_udf_docs(spark, sf: str) -> DataFrame:
     )
 
 
+def _q52_frame_sample(spark, sf: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (row expander): one media row
+    → one row per sampled frame. The frame fingerprint is md5-derived
+    (functions/multimodal.sample_frames), so DuckDB recomputes the
+    full fan-out exactly."""
+    from watermark_detector_spark.functions.multimodal import sample_frames
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        (F.lit(500) + F.pmod(F.col("n_chars"), F.lit(4500)))
+        .cast("bigint").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=1000).select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "frame_ts_ms", "frame_fp",
+    )
+
+
 def _q51_curation_pipeline(spark, sf: str) -> DataFrame:
     """End-to-end training-data curation composition: language-ID →
     quality gate → token-length bounds → exact-dup keeper selection.
@@ -851,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_multimodal_features": _q27_multimodal_features,
         "q28_detect_udf_docs": _q28_detect_udf_docs,
         "q51_curation_pipeline": _q51_curation_pipeline,
+        "q52_frame_sample": _q52_frame_sample,
         "q48_stream_sliding": _q48_stream_sliding,
         "q49_stream_stream_join": _q49_stream_stream_join,
         "q50_stream_session_window": _q50_stream_session_window,
@@ -1286,6 +1308,20 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN keepers USING (dup_key) JOIN lang USING (doc_id)
             WHERE q.doc_id = keepers.keeper_id AND lang.lang_guess = 'en'
               AND q.quality >= 0.5 AND q.n_tokens BETWEEN 20 AND 5000
+        """,
+        "q52_frame_sample": """
+            WITH m AS (
+              SELECT 'doc-' || doc_id AS media_id, text,
+                     500 + (n_chars % 4500) AS duration_ms
+              FROM documents),
+            f AS (
+              SELECT media_id, text,
+                     unnest(range(0, greatest(1, duration_ms // 1000))) AS frame_idx
+              FROM m)
+            SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms,
+                   md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+            FROM f
         """,
         "q44_lsh_ann_candidates": _lsh_candidates_sql(),
         "q45_near_dup_pairs": f"""

@@ -347,3 +347,38 @@ def test_ivf_topk_recall(spark):
     assert r_all == 1.0, r_all          # exactness limit
     assert r3 >= 0.5, r3                # useful operating point
     assert r3 < r5 <= r_all             # recall monotone in nprobe
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize (per-row transform w/ typed target dims) and frame
+    sampling (row expander) plumbing: fan-out counts, null-payload
+    error capture, determinism."""
+    from watermark_detector_spark.functions.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [("v1", "video", b"VID1", "video/mp4", None, None, 3500),
+         ("v2", "video", b"VID2", "video/mp4", None, None, None),   # no duration
+         ("v3", "video", None, "video/mp4", None, None, 2000)],     # null payload
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long")
+
+    frames = sample_frames(media, every_ms=1000).toPandas()
+    per = frames.groupby("media_id").size().to_dict()
+    assert per == {"v1": 3, "v2": 1, "v3": 2}  # 3500//1000, default 1, 2000//1000
+    v1 = frames[frames.media_id == "v1"].sort_values("frame_idx")
+    assert list(v1["frame_ts_ms"]) == [0, 1000, 2000]
+    assert v1["ok"].all() and v1["frame_fp"].nunique() == 3
+    assert not frames[frames.media_id == "v3"]["ok"].any()
+
+    rs = resize_images(media, 256, 256).toPandas().set_index("media_id")
+    assert rs.loc["v1", "ok"] and len(rs.loc["v1", "payload"]) == 32
+    assert (rs["width"] == 256).all() and (rs["height"] == 256).all()
+    assert not rs.loc["v3", "ok"] and "ValueError" in rs.loc["v3", "error"]
+    rs2 = resize_images(media, 256, 256).toPandas().set_index("media_id")
+    assert bytes(rs.loc["v1", "payload"]) == bytes(rs2.loc["v1", "payload"])
+    # different target dims -> different fake payload (dims are inputs)
+    rs3 = resize_images(media, 64, 64).toPandas().set_index("media_id")
+    assert bytes(rs.loc["v1", "payload"]) != bytes(rs3.loc["v1", "payload"])
