@@ -4,7 +4,7 @@
 ``queries``    — one entry per implemented operator family (SURVEY.md §2
                  + the training-data-pipeline operators: dedup,
                  similarity search, text analysis, multimodal plumbing).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 51 of the 52
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 53 of the 54
                  queries, including the streaming/stateful family (q24-
                  q26: emission rules replayed as batch SQL) and the
                  multimodal UDF (q27: md5-derived features recomputed in
@@ -697,6 +697,35 @@ def _q28_detect_udf_docs(spark, sf: str) -> DataFrame:
     )
 
 
+def _q53_mad_udaf(spark, sf: str) -> DataFrame:
+    """Grouped-agg pandas UDAF (median absolute deviation per group) —
+    the §2.8 UDAF surface, oracled via nested quantile_cont."""
+    from watermark_detector_spark.functions.stats import mad_udaf
+
+    e = _t(spark, sf, "events")
+    # NB: a grouped-agg pandas UDF cannot be mixed with built-in
+    # aggregates in one agg() — Spark raises INVALID_PANDAS_UDF_PLACEMENT
+    return e.groupBy("event_type").agg(
+        F.round(mad_udaf("value"), 4).alias("mad"),
+    )
+
+
+def _q54_chunk_udtf(spark, sf: str) -> DataFrame:
+    """Python UDTF: fixed-size token chunking with overlap (32-token
+    chunks, 24-token step) via LATERAL — the context-length packing
+    operator; fan-out and chunk fingerprints recomputed in SQL."""
+    from watermark_detector_spark.functions.text import ChunkText
+
+    spark.udtf.register("wmd_chunk_text", ChunkText)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents_q54")
+    return spark.sql("""
+        SELECT doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(c.n_tokens AS BIGINT) AS n_tokens,
+               md5(c.chunk) AS chunk_fp
+        FROM documents_q54, LATERAL wmd_chunk_text(text, 32, 24) c
+    """)
+
+
 def _q52_frame_sample(spark, sf: str) -> DataFrame:
     """Multimodal frame-sampling plumbing (row expander): one media row
     → one row per sampled frame. The frame fingerprint is md5-derived
@@ -873,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_detect_udf_docs": _q28_detect_udf_docs,
         "q51_curation_pipeline": _q51_curation_pipeline,
         "q52_frame_sample": _q52_frame_sample,
+        "q53_mad_udaf": _q53_mad_udaf,
+        "q54_chunk_udtf": _q54_chunk_udtf,
         "q48_stream_sliding": _q48_stream_sliding,
         "q49_stream_stream_join": _q49_stream_stream_join,
         "q50_stream_session_window": _q50_stream_session_window,
@@ -1308,6 +1339,25 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN keepers USING (dup_key) JOIN lang USING (doc_id)
             WHERE q.doc_id = keepers.keeper_id AND lang.lang_guess = 'en'
               AND q.quality >= 0.5 AND q.n_tokens BETWEEN 20 AND 5000
+        """,
+        "q53_mad_udaf": """
+            WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                         FROM events GROUP BY 1)
+            SELECT e.event_type,
+                   round(quantile_cont(abs(e.value - m), 0.5), 4) AS mad
+            FROM events e JOIN med USING (event_type)
+            GROUP BY e.event_type
+        """,
+        "q54_chunk_udtf": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents),
+            starts AS (
+              SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s FROM toks)
+            SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+                   CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(list_slice(t, s + 1, s + 32), ' ')) AS chunk_fp
+            FROM starts
         """,
         "q52_frame_sample": """
             WITH m AS (

@@ -90,3 +90,31 @@ def prefix_fingerprint(text: Column, n_tokens: int = 5) -> Column:
     """Head fingerprint: first-n-token key (catches boilerplate-headed
     duplicates that exact hashing misses)."""
     return F.array_join(F.slice(tokens_col(text), 1, n_tokens), " ")
+
+
+try:  # Python UDTF (pyspark >= 3.5): table-valued chunker
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+    class ChunkText:
+        """Fixed-size token chunking with overlap — the LLM-corpus
+        window operator (context-length packing). One doc row expands
+        to ceil(n_tok / step) chunk rows of ``chunk_tokens`` tokens,
+        consecutive chunks overlapping by chunk_tokens - step. Register
+        with ``spark.udtf.register`` and call via LATERAL; fan-out is
+        oracle-checked (driver query q54)."""
+
+        def eval(self, text: str, chunk_tokens: int, step: int):
+            if text is None:
+                return
+            toks = text.split()
+            i, s = 0, 0
+            while s < len(toks):
+                part = toks[s:s + chunk_tokens]
+                yield (i, " ".join(part), len(part))
+                i += 1
+                s += step
+
+    HAS_UDTF = True
+except ImportError:  # pragma: no cover - pyspark < 3.5
+    HAS_UDTF = False
