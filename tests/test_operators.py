@@ -382,3 +382,18 @@ def test_multimodal_resize_and_frame_sample(spark):
     # different target dims -> different fake payload (dims are inputs)
     rs3 = resize_images(media, 64, 64).toPandas().set_index("media_id")
     assert bytes(rs.loc["v1", "payload"]) != bytes(rs3.loc["v1", "payload"])
+
+
+def test_salted_join_equals_plain(spark, kept, fixture_paths):
+    """Salted k-way join must be row-identical to the plain equi-join
+    (skew handling changes the plan, never the answer)."""
+    from watermark_detector_spark.operators.skew import salted_join
+
+    sigs = spark.read.parquet(fixture_paths["signatures"]).select("sig_id", "weight")
+    plain = kept.join(sigs, "sig_id").select("url", "sig_id", "begin", "weight")
+    salted = salted_join(kept, sigs, on="sig_id", k=8,
+                         big_salt_col="url").select("url", "sig_id", "begin", "weight")
+    key = ["url", "sig_id", "begin"]
+    a = plain.toPandas().sort_values(key).reset_index(drop=True)
+    b = salted.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-12)

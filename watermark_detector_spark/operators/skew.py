@@ -50,3 +50,23 @@ def direct_domain_stats(kept: DataFrame) -> DataFrame:
         F.max("score").alias("max_score"),
         F.sum(F.when(F.col("category") == "watermark", 1).otherwise(0)).alias("n_watermark"),
     )
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str, k: int = 16,
+                big_salt_col: str | None = None) -> DataFrame:
+    """Skew-proof equi-join: salt the BIG side k ways on a per-row hash,
+    replicate the SMALL side across all k salts, join on (key, salt).
+
+    A hot key's rows land on k reducers instead of one — the manual
+    fallback when AQE's skew-join splitting can't apply (e.g. the hot
+    side feeds a co-grouped operator, or stats are missing). Result is
+    row-identical to the plain join (t:test_salted_join_equals_plain).
+    Cost: small side shuffled k× — keep k modest and the small side
+    genuinely small (it usually also fits broadcast, which is cheaper;
+    salting matters when BOTH sides are too big to broadcast)."""
+    salt_src = F.col(big_salt_col) if big_salt_col else F.monotonically_increasing_id()
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(k)))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).withColumn("_salt", F.col("_salt").cast(b.schema["_salt"].dataType))
+    return b.join(s, [on, "_salt"]).drop("_salt")
