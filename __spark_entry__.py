@@ -4,7 +4,7 @@
 ``queries``    — one entry per implemented operator family (SURVEY.md §2
                  + the training-data-pipeline operators: dedup,
                  similarity search, text analysis, multimodal plumbing).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 53 of the 54
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 54 of the 55
                  queries, including the streaming/stateful family (q24-
                  q26: emission rules replayed as batch SQL) and the
                  multimodal UDF (q27: md5-derived features recomputed in
@@ -697,6 +697,16 @@ def _q28_detect_udf_docs(spark, sf: str) -> DataFrame:
     )
 
 
+def _q55_winnow_fingerprints(spark, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS): min md5 over each
+    4-wide window of the word-3-gram hash sequence, distinct per doc —
+    position-robust doc fingerprints, pure window expressions."""
+    from watermark_detector_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    return winnow_fingerprints(d, n=3, window=4)
+
+
 def _q53_mad_udaf(spark, sf: str) -> DataFrame:
     """Grouped-agg pandas UDAF (median absolute deviation per group) —
     the §2.8 UDAF surface, oracled via nested quantile_cont."""
@@ -903,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_curation_pipeline": _q51_curation_pipeline,
         "q52_frame_sample": _q52_frame_sample,
         "q53_mad_udaf": _q53_mad_udaf,
+        "q55_winnow_fingerprints": _q55_winnow_fingerprints,
         "q54_chunk_udtf": _q54_chunk_udtf,
         "q48_stream_sliding": _q48_stream_sliding,
         "q49_stream_stream_join": _q49_stream_stream_join,
@@ -1339,6 +1350,27 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN keepers USING (dup_key) JOIN lang USING (doc_id)
             WHERE q.doc_id = keepers.keeper_id AND lang.lang_guess = 'en'
               AND q.quality >= 0.5 AND q.n_tokens BETWEEN 20 AND 5000
+        """,
+        "q55_winnow_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(range(1, len(t) - 1)) AS pos1,
+                     len(t) - 2 AS n_sh, t
+              FROM toks WHERE len(t) >= 3),
+            h AS (
+              SELECT doc_id, pos1, n_sh,
+                     md5(t[pos1] || ' ' || t[pos1 + 1] || ' ' || t[pos1 + 2]) AS h
+              FROM sh),
+            wmin AS (
+              SELECT doc_id, pos1, n_sh,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos1
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM h)
+            SELECT DISTINCT doc_id, fp
+            FROM wmin WHERE pos1 <= n_sh - 3
         """,
         "q53_mad_udaf": """
             WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m

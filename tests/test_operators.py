@@ -397,3 +397,22 @@ def test_salted_join_equals_plain(spark, kept, fixture_paths):
     a = plain.toPandas().sort_values(key).reset_index(drop=True)
     b = salted.toPandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-12)
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee (MOSS): two docs sharing a run of
+    >= window + n - 1 tokens share at least one fingerprint, and local
+    edits outside the run don't destroy it (unlike a whole-doc hash)."""
+    from watermark_detector_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens >= 4+3-1
+    docs = spark.createDataFrame(
+        [(1, f"intro words here {shared} tail one"),
+         (2, f"completely different opening {shared} other ending text"),
+         (3, "no overlap at all with anything else whatsoever here")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, n=3, window=4).toPandas()
+    sets = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+    assert sets[1] & sets[2], "shared run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])

@@ -168,6 +168,55 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.5, n_bands: int = 4,
     )
 
 
+def ordered_shingles(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """Positional word n-gram shingles: (id, pos, shingle), pos 0-based
+    in document order (NO distinct — winnowing needs the sequence)."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("_toks"), i + k) for k in range(n)]
+                    ),
+                )
+            ).alias("pos", "shingle"),
+        )
+    )
+
+
+def winnow_fingerprints(df: DataFrame, n: int = 3, window: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word n-gram, slide a
+    ``window``-wide window over the hash sequence, keep each window's
+    minimum; the DISTINCT selected hashes are the fingerprint set.
+    Guarantees: any shared run of >= window+n-1 tokens between two docs
+    shares at least one fingerprint, and the set is position-robust to
+    local edits (unlike whole-doc md5). Pure window expressions — one
+    shuffle on the doc key, no UDF; oracle-checked (q55)."""
+    from pyspark.sql.window import Window as W
+
+    sh = ordered_shingles(df, id_col, text_col, n).withColumn(
+        "h", F.md5(F.col("shingle").cast("binary"))
+    )
+    n_sh = sh.groupBy(id_col).agg(F.max("pos").alias("_max_pos"))
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    sel = (
+        sh.withColumn("fp", F.min("h").over(w))
+        .join(n_sh, id_col)
+        .where(F.col("pos") <= F.col("_max_pos") - (window - 1))
+        .select(id_col, "fp")
+        .distinct()
+    )
+    return sel
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             n_bits: int = 16) -> DataFrame:
     """Per-doc SimHash signature: majority vote over token-hash bits.
