@@ -39,19 +39,28 @@ def backfill(
     """Run the flagship batch plan over every source dir; exactly-once
     per source via the manifest sink. Returns the sink for inspection.
 
-    Source order is canonicalized (sorted) so batch_id↔source mapping is
-    stable across runs — the property resume depends on."""
+    Batch identity is derived from the SOURCE PATH (stable 31-bit
+    hash), never from list position: adding or removing sources between
+    runs must neither skip a new source nor double-commit an old one —
+    positional ids would do both the moment the sorted order shifts."""
+    from watermark_detector_spark.functions.core import stable_hash
+
     sink = ExactlyOnceParquetSink(sink_root)
     done = set(sink.committed_batches())
-    for i, src in enumerate(sorted(sources)):
-        if i in done:
+    batch_ids = {src: stable_hash("backfill", src) & 0x7FFFFFFF
+                 for src in sources}
+    if len(set(batch_ids.values())) != len(batch_ids):
+        raise ValueError(f"source batch-id collision across {sorted(sources)}")
+    for src in sorted(sources):
+        bid = batch_ids[src]
+        if bid in done:
             continue
         pages = read_pages_batch(spark, src)
         agg = flagship_batch(pages, signatures, window=window,
                              from_html=from_html).withColumn(
             "source_path", F.lit(src)
         )
-        sink.write_batch(agg, i)
+        sink.write_batch(agg, bid)
     return sink
 
 

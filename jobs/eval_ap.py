@@ -89,7 +89,10 @@ def _gold_counts(golden: DataFrame) -> DataFrame:
 def average_precision(matched: DataFrame, gold_counts: DataFrame) -> DataFrame:
     """All-point interpolated AP per category from tp/fp-labeled,
     score-ranked predictions — windows only, no collect."""
-    order = [F.desc("score"), F.desc("tp"), F.asc("url"), F.asc("begin")]
+    # Tie-break by stable keys ONLY — never by tp: sorting TPs ahead of
+    # FPs at equal scores would systematically inflate AP vs the COCO
+    # stable score-sort (scores are quantized, ties are common).
+    order = [F.desc("score"), F.asc("url"), F.asc("begin")]
     w_cum = W.partitionBy("category").orderBy(*order) \
         .rowsBetween(W.unboundedPreceding, 0)
     w_env = W.partitionBy("category").orderBy(*order) \
@@ -117,29 +120,36 @@ def evaluate(predictions: DataFrame, golden: DataFrame,
     per-category tp / fp / fn / precision / recall / f1 / ap."""
     matched = matched_predictions(predictions, golden, iou_threshold).cache()
     gold_counts = _gold_counts(golden)
-    counts = (
-        matched.groupBy("category")
-        .agg(F.sum("tp").alias("tp"), F.sum(1 - F.col("tp")).alias("fp"))
-        .join(gold_counts, "category", "full_outer")
-        .na.fill({"tp": 0, "fp": 0, "n_gold": 0})
-        .withColumn("fn", F.col("n_gold") - F.col("tp"))
-    )
-    ap = average_precision(matched, gold_counts)
-    return (
-        counts.join(ap, "category", "left")
-        .na.fill({"ap": 0.0})
-        .select(
-            "category", "tp", "fp", "fn",
-            F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 4)
-            .alias("precision"),
-            F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 4)
-            .alias("recall"),
-            F.round(2 * F.col("tp")
-                    / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)), 4)
-            .alias("f1"),
-            "ap",
+    try:
+        counts = (
+            matched.groupBy("category")
+            .agg(F.sum("tp").alias("tp"), F.sum(1 - F.col("tp")).alias("fp"))
+            .join(gold_counts, "category", "full_outer")
+            .na.fill({"tp": 0, "fp": 0, "n_gold": 0})
+            .withColumn("fn", F.col("n_gold") - F.col("tp"))
         )
-    )
+        ap = average_precision(matched, gold_counts)
+        result = (
+            counts.join(ap, "category", "left")
+            .na.fill({"ap": 0.0})
+            .select(
+                "category", "tp", "fp", "fn",
+                F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 4)
+                .alias("precision"),
+                F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 4)
+                .alias("recall"),
+                F.round(2 * F.col("tp")
+                        / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)), 4)
+                .alias("f1"),
+                "ap",
+            )
+        )
+        # materialize the (tiny) result while the match cache is hot,
+        # then release it — repeated evaluate() calls must not pin
+        # executor storage for the session's lifetime
+        return result.localCheckpoint(eager=True)
+    finally:
+        matched.unpersist()
 
 
 def evaluate_ap(predictions: DataFrame, golden: DataFrame,

@@ -141,8 +141,11 @@ def test_plan_prunes_and_partial_aggregates(spark, fixture_cfg, fixture_paths):
 def test_backfill_multi_source_exactly_once(spark, fixture_cfg, fixture_paths,
                                             tmp_path_factory):
     """jobs/backfill sweeps several pages dirs through the fused plan
-    with one manifest entry per source; re-runs are no-ops and a
-    partially-committed sweep resumes at the missing source only."""
+    with one manifest entry per source; re-runs are no-ops, a
+    partially-committed sweep resumes at the missing source only, and
+    ADDING a source between runs processes only the new one (batch
+    identity is path-derived, not positional)."""
+    import os
     import sys
     sys.path.insert(0, "/root/repo")
     from jobs.backfill import backfill
@@ -154,23 +157,35 @@ def test_backfill_multi_source_exactly_once(spark, fixture_cfg, fixture_paths,
     sink_root = str(tmp_path_factory.mktemp("backfill_sink"))
 
     sink = backfill(spark, sources, fixture_cfg.signatures, sink_root)
-    assert sink.committed_batches() == [0, 1]
+    assert len(sink.committed_batches()) == 2
     man = sink.manifest()
     assert all(m["n_rows"] > 0 for m in man)
     total = sink.read(spark).count()
     assert total == sum(m["n_rows"] for m in man)
+    # each committed batch carries its source_path exactly once
+    paths = set(sink.read(spark).select("source_path").distinct().toPandas()["source_path"])
+    assert paths == set(sources)
 
     # idempotent re-run: commit timestamps unchanged
-    stamps = [m["committed_at_epoch"] for m in man]
+    stamps = sorted(m["committed_at_epoch"] for m in man)
     backfill(spark, sources, fixture_cfg.signatures, sink_root)
-    assert [m["committed_at_epoch"] for m in sink.manifest()] == stamps
+    assert sorted(m["committed_at_epoch"] for m in sink.manifest()) == stamps
+
+    # a NEW source prepended to the list (sorts first): only it runs,
+    # nothing is skipped or double-committed
+    third = generate(FixtureConfig(n_docs=200),
+                     str(tmp_path_factory.mktemp("fx0_first")))
+    backfill(spark, [third["pages"], *sources], fixture_cfg.signatures, sink_root)
+    assert len(sink.committed_batches()) == 3
+    assert sorted(m["committed_at_epoch"] for m in sink.manifest())[:2] == stamps
+    paths3 = set(sink.read(spark).select("source_path").distinct().toPandas()["source_path"])
+    assert paths3 == set(sources) | {third["pages"]}
 
     # resume: drop one manifest entry -> only that source recomputes
-    import os
-    os.remove(os.path.join(sink_root, "_manifest", "1.json"))
-    backfill(spark, sources, fixture_cfg.signatures, sink_root)
-    assert sink.committed_batches() == [0, 1]
-    assert sink.read(spark).count() == total
+    dropped = sink.committed_batches()[-1]
+    os.remove(os.path.join(sink_root, "_manifest", f"{dropped}.json"))
+    backfill(spark, [third["pages"], *sources], fixture_cfg.signatures, sink_root)
+    assert len(sink.committed_batches()) == 3
 
 
 def test_glob_filtered_scan(spark, fixture_paths, tmp_path_factory):

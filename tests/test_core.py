@@ -132,7 +132,7 @@ def test_token_scan_equals_probe_scan():
     """The two pre-scan strategies (str.find probes vs single-pass
     token-dict scan) must produce identical detections on every fixture
     doc — the equivalence that lets the detector switch to the flat-in-
-    n_sigs scanner for >256-signature tables."""
+    n_sigs scanner for above-threshold (128+) signature tables."""
     from watermark_detector_spark.functions.core import CompiledDetector
 
     det_probe = CompiledDetector(SIGS, token_scan_threshold=10**9)
@@ -150,7 +150,7 @@ def test_token_scan_equals_probe_scan():
 
 def test_token_scan_default_kicks_in_at_large_sig_count():
     """build_detector auto-selects the flat scanner for big tables and
-    stays golden-exact there (300 sigs >= threshold 256)."""
+    stays golden-exact there (300 sigs >= threshold 128)."""
     big = make_signatures(300)
     det = build_detector(big)
     assert det.use_token_scan
@@ -159,3 +159,21 @@ def test_token_scan_default_kicks_in_at_large_sig_count():
     got = detect_text(text, by_id, det)
     assert {g[0] for g in got} == {7, 123}
     assert all(g[4] == pytest.approx(by_id[g[0]].weight) for g in got)
+
+
+def test_scan_semantics_token_boundary():
+    """Anchors glued to punctuation are NOT matches, identically in both
+    scanners — crossing the threshold can never change detections."""
+    from watermark_detector_spark.functions.core import CompiledDetector
+
+    sig = SIGS[0]
+    det_probe = CompiledDetector(SIGS, token_scan_threshold=10**9)
+    det_token = CompiledDetector(SIGS, token_scan_threshold=0)
+    glued = f"see ({sig.pattern}) end"          # anchor mid-token: no match
+    clean = f"see {sig.pattern} end"            # token-aligned: match
+    for det in (det_probe, det_token):
+        assert detect_text(glued, BY_ID, det) == []
+        got = detect_text(clean, BY_ID, det)
+        assert len(got) == 1 and got[0][0] == sig.sig_id
+    assert (detect_text(glued, BY_ID, det_probe)
+            == detect_text(glued, BY_ID, det_token))

@@ -154,9 +154,11 @@ class CompiledDetector:
       n_sigs — the multi-pattern scan that keeps a >1k-signature table
       from dominating the pipeline.
 
-    Both confirm with identical regexes and honor the same
-    resume-after-match rule, so results are identical on token-separated
-    text (t:test_token_scan_equals_probe_scan)."""
+    Both confirm with identical regexes, require the anchor to start at
+    a token boundary (start-of-text or preceded by whitespace), and
+    honor the same resume-after-match rule — results are identical on
+    ANY input, so crossing the threshold can never change detections
+    (t:test_token_scan_equals_probe_scan)."""
 
     __slots__ = ("sigs", "probes", "anchor_map", "use_token_scan")
 
@@ -187,6 +189,12 @@ def _raw_matches_probe(text: str, detector: CompiledDetector) -> list:
         n_tokens = len(sig.tokens)
         last_tok = sig.tokens[-1]
         while pos != -1:
+            # token-start boundary: a mid-token anchor occurrence (e.g.
+            # '(wm003sig') is NOT a match — keeps probe and token-scan
+            # semantics identical on any input, not just fixtures
+            if pos > 0 and not text[pos - 1].isspace():
+                pos = find(anchor, pos + 1)
+                continue
             m = rx.match(text, pos)
             if m is None:
                 pos = find(anchor, pos + 1)

@@ -322,7 +322,7 @@ def ivf_centroids(df: DataFrame, dim: int, n_cells: int = 8, n_iters: int = 3,
     cents = np.array([r[0] for r in init], dtype=np.float64)
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     for _ in range(n_iters):
-        assigned = _ivf_assign(df, cents, id_col, vec_col)
+        assigned, b_iter = _ivf_assign(df, cents, id_col, vec_col)
         sums = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell", "pos")
@@ -330,6 +330,10 @@ def ivf_centroids(df: DataFrame, dim: int, n_cells: int = 8, n_iters: int = 3,
                  F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        # the iteration's jobs are done (eager collect) — release the
+        # per-iteration centroid broadcast instead of leaking one per
+        # Lloyd step on every executor
+        b_iter.destroy()
         new = cents.copy()
         acc: dict[int, list] = {}
         for r in sums:
@@ -341,13 +345,16 @@ def ivf_centroids(df: DataFrame, dim: int, n_cells: int = 8, n_iters: int = 3,
     return cents
 
 
-def _ivf_assign(df: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
-    """(id, vec) → (id, vec, cell): nearest centroid by cosine, via one
-    GEMM per Arrow batch against the broadcast centroid matrix."""
+def _ivf_assign(df: DataFrame, cents, id_col: str, vec_col: str,
+                broadcast=None):
+    """(id, vec) → ((id, vec, cell) DataFrame, broadcast handle):
+    nearest centroid by cosine, one GEMM per Arrow batch against the
+    broadcast centroid matrix. The handle is returned so callers can
+    reuse it across stages and destroy it once their jobs have run."""
     import numpy as np
     import pandas as pd
 
-    b = df.sparkSession.sparkContext.broadcast(cents)
+    b = broadcast or df.sparkSession.sparkContext.broadcast(cents)
 
     def _f(batches):
         c = b.value
@@ -366,7 +373,7 @@ def _ivf_assign(df: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
 
     return df.select(id_col, vec_col).mapInPandas(
         _f, schema=f"{id_col} long, {vec_col} array<float>, cell int"
-    )
+    ), b
 
 
 def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
@@ -384,10 +391,15 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
     import pandas as pd
 
     cents = ivf_centroids(df, dim, n_cells, n_iters, id_col, vec_col)
-    members = _ivf_assign(df, cents, id_col, vec_col).select(
+    # probing every cell == exact search; also guards tables smaller
+    # than n_cells (the centroid matrix then has fewer rows)
+    nprobe = min(nprobe, len(cents))
+    # ONE broadcast shared by the member-assignment and probe stages
+    b = df.sparkSession.sparkContext.broadcast(cents)
+    assigned, _ = _ivf_assign(df, cents, id_col, vec_col, broadcast=b)
+    members = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vc"), "cell"
     )
-    b = df.sparkSession.sparkContext.broadcast(cents)
 
     def _probe(batches):
         c = b.value

@@ -205,16 +205,17 @@ def winnow_fingerprints(df: DataFrame, n: int = 3, window: int = 4,
     sh = ordered_shingles(df, id_col, text_col, n).withColumn(
         "h", F.md5(F.col("shingle").cast("binary"))
     )
-    n_sh = sh.groupBy(id_col).agg(F.max("pos").alias("_max_pos"))
     w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    sel = (
+    # per-doc max(pos) as a window over the SAME partition the min-hash
+    # window already shuffles on — no second scan, no extra join
+    w_all = W.partitionBy(id_col)
+    return (
         sh.withColumn("fp", F.min("h").over(w))
-        .join(n_sh, id_col)
+        .withColumn("_max_pos", F.max("pos").over(w_all))
         .where(F.col("pos") <= F.col("_max_pos") - (window - 1))
         .select(id_col, "fp")
         .distinct()
     )
-    return sel
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

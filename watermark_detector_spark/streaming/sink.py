@@ -63,8 +63,14 @@ class _HadoopFS:
         finally:
             out.close()
         # rename does not overwrite an existing destination; the caller
-        # guarantees absence (committed batches short-circuit earlier)
-        self._fs.rename(tmp, self._Path(p))
+        # guarantees absence (committed batches short-circuit earlier).
+        # Hadoop reports rename failure via a FALSE return, not an
+        # exception — swallowing it would advance the streaming
+        # checkpoint past a batch that has NO manifest entry, silently
+        # losing its rows from every future read. Raise so the batch
+        # is retried/replayed instead.
+        if not self._fs.rename(tmp, self._Path(p)):
+            raise IOError(f"manifest publish failed: rename {p}.tmp -> {p}")
 
     def read_text(self, p: str) -> str:
         stream = self._fs.open(self._Path(p))
