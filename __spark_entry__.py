@@ -4,7 +4,7 @@
 ``queries``    — one entry per implemented operator family (SURVEY.md §2
                  + the training-data-pipeline operators: dedup,
                  similarity search, text analysis, multimodal plumbing).
-``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 54 of the 55
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for 56 of the 57
                  queries, including the streaming/stateful family (q24-
                  q26: emission rules replayed as batch SQL) and the
                  multimodal UDF (q27: md5-derived features recomputed in
@@ -838,6 +838,43 @@ def _q49_stream_stream_join(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q56_stream_static_join(spark, sf: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    (broadcastable) dimension table derived deterministically from the
+    event types — per-type weighted sums. Single availableNow batch ⇒
+    the batch join is the exact oracle."""
+    src, tmp = _events_stream(spark, sf)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("error", -2.0), ("signup", 5.0)],
+        "event_type string, type_weight double",
+    )
+    joined = (
+        src.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("type_weight")), 4)
+             .alias("weighted_sum"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    name = "wmd_q56_" + uuid.uuid4().hex[:8]
+    _run_to_memory(joined, name, "complete")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+def _q57_grouping_sets(spark, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not derivable from cube/rollup): totals
+    by (returnflag), by (linestatus), and the grand total — one pass."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_q57")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_q57
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
 def _q50_stream_session_window(spark, sf: str) -> DataFrame:
     """Built-in session_window on a STREAM (30-minute gap) with
     watermark, append mode — emitted sessions are those whose end
@@ -918,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_stream_sliding": _q48_stream_sliding,
         "q49_stream_stream_join": _q49_stream_stream_join,
         "q50_stream_session_window": _q50_stream_session_window,
+        "q56_stream_static_join": _q56_stream_static_join,
+        "q57_grouping_sets": _q57_grouping_sets,
     }
 
 
@@ -1519,6 +1558,23 @@ def oracle_sql() -> dict[str, str]:
                    strftime(session_end, '{_TS_FMT_DUCK}') AS session_end,
                    n_events
             FROM sess, wm WHERE session_end <= wm.w
+        """,
+        "q56_stream_static_join": """
+            WITH dim(event_type, type_weight) AS (VALUES
+              ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+              ('error', -2.0), ('signup', 5.0))
+            SELECT e.event_type,
+                   round(sum(e.value * d.type_weight), 4) AS weighted_sum,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events e JOIN dim d USING (event_type)
+            GROUP BY e.event_type
+        """,
+        "q57_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         # q27: md5-derived fake features recomputed byte-for-byte
         "q27_multimodal_features": f"""
