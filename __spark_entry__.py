@@ -559,30 +559,55 @@ def _q42_distinct_count(spark, sf: str) -> DataFrame:
 
 _TMP_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp")
 
+# events.parquet staged as a stream-source dir ONCE per (sf, session) and
+# reused by every streaming query — six independent write+stream staging
+# cycles per correctness run was the harness's dominant fixed cost.
+_EVENTS_STAGE_CACHE: dict[str, tuple[str, object]] = {}
+
 
 def _events_stream(spark, sf: str):
     """Replay events.parquet as a file stream (tmp copy: file sources
-    need a directory; ts cast to TIMESTAMP for event-time ops)."""
-    e = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    os.makedirs(_TMP_ROOT, exist_ok=True)
-    d = tempfile.mkdtemp(prefix="wmd_events_stream_", dir=_TMP_ROOT)
-    e.write.mode("overwrite").parquet(os.path.join(d, "data"))
-    return spark.readStream.schema(e.schema).parquet(os.path.join(d, "data")), d
+    need a directory; ts cast to TIMESTAMP for event-time ops). The
+    staged copy is cached per sf dir; cleaned up at process exit."""
+    key = f"{id(spark)}:{sf}"
+    if key not in _EVENTS_STAGE_CACHE:
+        e = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        os.makedirs(_TMP_ROOT, exist_ok=True)
+        d = tempfile.mkdtemp(prefix="wmd_events_stream_", dir=_TMP_ROOT)
+        e.write.mode("overwrite").parquet(os.path.join(d, "data"))
+        _EVENTS_STAGE_CACHE[key] = (d, e.schema)
+        import atexit
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    d, schema = _EVENTS_STAGE_CACHE[key]
+    return spark.readStream.schema(schema).parquet(os.path.join(d, "data")), None
 
 
 def _run_to_memory(stream_df, name: str, output_mode: str) -> None:
     os.makedirs(_TMP_ROOT, exist_ok=True)
     ckpt = tempfile.mkdtemp(prefix="wmd_ckpt_", dir=_TMP_ROOT)
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    spark = stream_df.sparkSession
+    # state-store partitions: each shuffle partition of a stateful op is
+    # one RocksDB/HDFS store instance PER MICRO-BATCH COMMIT; at the
+    # harness's fixture scale 200 default partitions is pure fixed cost
+    # (~1s/commit). Pin to 8 for the run, restore after — each query uses
+    # a fresh checkpoint so the partition count is free to differ.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _q24_stream_tumbling(spark, sf: str) -> DataFrame:
@@ -593,7 +618,7 @@ def _q24_stream_tumbling(spark, sf: str) -> DataFrame:
     append mode emits exactly the windows whose end <= final watermark
     (max event time - 10 min); the DuckDB oracle replays that rule in
     batch SQL (time_bucket == Spark's epoch-aligned tumbling window)."""
-    src, tmp = _events_stream(spark, sf)
+    src, _ = _events_stream(spark, sf)
     name = "wmd_q24_" + uuid.uuid4().hex[:8]
     agg = (
         src.withWatermark("ts", "10 minutes")
@@ -606,7 +631,6 @@ def _q24_stream_tumbling(spark, sf: str) -> DataFrame:
         )
     )
     _run_to_memory(agg, name, "append")
-    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
 
 
@@ -615,7 +639,7 @@ def _q25_stateful_best(spark, sf: str) -> DataFrame:
     checkpoint-on-improve analog, train_watermarks.py:161-163)."""
     from watermark_detector_spark.streaming.state import track_best
 
-    src, tmp = _events_stream(spark, sf)
+    src, _ = _events_stream(spark, sf)
     kept = src.select(
         F.col("event_type").alias("domain"),
         F.col("value").alias("score"),
@@ -623,7 +647,6 @@ def _q25_stateful_best(spark, sf: str) -> DataFrame:
     )
     name = "wmd_q25_" + uuid.uuid4().hex[:8]
     _run_to_memory(track_best(kept), name, "update")
-    shutil.rmtree(tmp, ignore_errors=True)
     # max over improvement records == global max per key, REGARDLESS of
     # how availableNow splits micro-batches (the batch containing the
     # global max always improves state and emits) — which is what makes
@@ -641,7 +664,7 @@ def _q26_dedup_stream(spark, sf: str) -> DataFrame:
     Emits the deduped KEY SET — order-insensitive, so the oracle is a
     plain DISTINCT (which event "won" depends on file arrival order and
     is deliberately not part of the contract)."""
-    src, tmp = _events_stream(spark, sf)
+    src, _ = _events_stream(spark, sf)
     dedup = (
         src.withWatermark("ts", "30 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -649,7 +672,6 @@ def _q26_dedup_stream(spark, sf: str) -> DataFrame:
     )
     name = "wmd_q26_" + uuid.uuid4().hex[:8]
     _run_to_memory(dedup, name, "append")
-    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
 
 
@@ -705,6 +727,20 @@ def _q55_winnow_fingerprints(spark, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     return winnow_fingerprints(d, n=3, window=4)
+
+
+def _q58_ivf_topk(spark, sf: str) -> DataFrame:
+    """IVF ANN top-k run at nprobe == n_cells: probing every cell makes
+    the index EXACT, so the output equals brute-force top-k and shares
+    its SQL oracle (q21). This pins the whole IVF pipeline — k-means
+    coarse quantizer, Arrow-GEMM assignment/probing, cell-keyed
+    candidate join — against an independent engine; the approximate
+    operating point (nprobe < n_cells) is recall-tested in pytest."""
+    from watermark_detector_spark.functions.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    return ivf_topk(e, dim=64, k=3, n_cells=4, nprobe=4, n_iters=2,
+                    n_queries=10)
 
 
 def _q53_mad_udaf(spark, sf: str) -> DataFrame:
@@ -790,7 +826,7 @@ def _q48_stream_sliding(spark, sf: str) -> DataFrame:
     """Streaming SLIDING window agg (15 min window / 5 min slide) with
     watermark, append mode. Oracle: every event belongs to exactly 3
     slides; emission rule = window end <= final watermark."""
-    src, tmp = _events_stream(spark, sf)
+    src, _ = _events_stream(spark, sf)
     name = "wmd_q48_" + uuid.uuid4().hex[:8]
     agg = (
         src.withWatermark("ts", "10 minutes")
@@ -803,7 +839,6 @@ def _q48_stream_sliding(spark, sf: str) -> DataFrame:
         )
     )
     _run_to_memory(agg, name, "append")
-    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
 
 
@@ -812,7 +847,7 @@ def _q49_stream_stream_join(spark, sf: str) -> DataFrame:
     user's 'click' events within the preceding 30 minutes, watermarks on
     both sides. With availableNow over one batch every match emits, so
     the oracle is the plain batch interval join."""
-    src, tmp = _events_stream(spark, sf)
+    src, _ = _events_stream(spark, sf)
     errors = (
         src.where(F.col("event_type") == "error")
         .select(F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"),
@@ -834,7 +869,6 @@ def _q49_stream_stream_join(spark, sf: str) -> DataFrame:
     ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
     name = "wmd_q49_" + uuid.uuid4().hex[:8]
     _run_to_memory(joined, name, "append")
-    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
 
 
@@ -843,7 +877,7 @@ def _q56_stream_static_join(spark, sf: str) -> DataFrame:
     (broadcastable) dimension table derived deterministically from the
     event types — per-type weighted sums. Single availableNow batch ⇒
     the batch join is the exact oracle."""
-    src, tmp = _events_stream(spark, sf)
+    src, _ = _events_stream(spark, sf)
     dim = spark.createDataFrame(
         [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
          ("error", -2.0), ("signup", 5.0)],
@@ -858,7 +892,6 @@ def _q56_stream_static_join(spark, sf: str) -> DataFrame:
     )
     name = "wmd_q56_" + uuid.uuid4().hex[:8]
     _run_to_memory(joined, name, "complete")
-    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
 
 
@@ -880,7 +913,7 @@ def _q50_stream_session_window(spark, sf: str) -> DataFrame:
     watermark, append mode — emitted sessions are those whose end
     (last event + gap) <= final watermark; the oracle replays gap
     sessionization + that emission rule in batch SQL."""
-    src, tmp = _events_stream(spark, sf)
+    src, _ = _events_stream(spark, sf)
     agg = (
         src.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -894,12 +927,17 @@ def _q50_stream_session_window(spark, sf: str) -> DataFrame:
     )
     name = "wmd_q50_" + uuid.uuid4().hex[:8]
     _run_to_memory(agg, name, "append")
-    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Insertion order = execution-cost order (cheap batch scans first,
+    checkpointed streaming runs last) so a budget-capped harness run
+    degrades gracefully instead of losing whichever queries happen to be
+    registered last (round-2 postmortem: the driver stopped mid-suite at
+    the insertion-order boundary)."""
     return {
+        # -- batch: scans, joins, windows, SQL surfaces (cheapest) --
         "q01_filter_project": _q01_filter_project,
         "q02_groupby_agg": _q02_groupby_agg,
         "q03_join_agg": _q03_join_agg,
@@ -915,14 +953,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_quality": _q13_quality,
         "q14_lang_guess": _q14_lang_guess,
         "q15_fingerprint": _q15_fingerprint,
-        "q16_dedup_exact": _q16_dedup_exact,
-        "q17_jaccard_pairs": _q17_jaccard_pairs,
-        "q18_minhash_sigs": _q18_minhash_sigs,
-        "q19_simhash": _q19_simhash,
-        "q20_cosine_pairs": _q20_cosine_pairs,
-        "q21_ann_topk": _q21_ann_topk,
-        "q22_lsh_candidates": _q22_lsh_candidates,
-        "q23_detect_hits": _q23_detect_hits,
         "q29_json_extract": _q29_json_extract,
         "q30_rollup": _q30_rollup,
         "q31_pivot": _q31_pivot,
@@ -938,25 +968,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_asof_join": _q41_asof_join,
         "q42_distinct_count": _q42_distinct_count,
         "q43_session_window": _q43_session_window,
-        "q44_lsh_ann_candidates": _q44_lsh_ann_candidates,
-        "q45_near_dup_pairs": _q45_near_dup_pairs,
         "q46_cube": _q46_cube,
         "q47_percentiles": _q47_percentiles,
-        "q24_stream_tumbling": _q24_stream_tumbling,
-        "q25_stateful_best": _q25_stateful_best,
-        "q26_dedup_stream": _q26_dedup_stream,
+        "q57_grouping_sets": _q57_grouping_sets,
+        # -- batch: dedup / similarity / text / UDF families --
+        "q16_dedup_exact": _q16_dedup_exact,
+        "q17_jaccard_pairs": _q17_jaccard_pairs,
+        "q18_minhash_sigs": _q18_minhash_sigs,
+        "q19_simhash": _q19_simhash,
+        "q20_cosine_pairs": _q20_cosine_pairs,
+        "q21_ann_topk": _q21_ann_topk,
+        "q22_lsh_candidates": _q22_lsh_candidates,
+        "q23_detect_hits": _q23_detect_hits,
         "q27_multimodal_features": _q27_multimodal_features,
         "q28_detect_udf_docs": _q28_detect_udf_docs,
+        "q44_lsh_ann_candidates": _q44_lsh_ann_candidates,
+        "q45_near_dup_pairs": _q45_near_dup_pairs,
         "q51_curation_pipeline": _q51_curation_pipeline,
         "q52_frame_sample": _q52_frame_sample,
         "q53_mad_udaf": _q53_mad_udaf,
-        "q55_winnow_fingerprints": _q55_winnow_fingerprints,
         "q54_chunk_udtf": _q54_chunk_udtf,
+        "q55_winnow_fingerprints": _q55_winnow_fingerprints,
+        "q58_ivf_topk": _q58_ivf_topk,
+        # -- streaming (checkpointed runs; staged events dir is shared) --
+        "q24_stream_tumbling": _q24_stream_tumbling,
+        "q25_stateful_best": _q25_stateful_best,
+        "q26_dedup_stream": _q26_dedup_stream,
         "q48_stream_sliding": _q48_stream_sliding,
         "q49_stream_stream_join": _q49_stream_stream_join,
         "q50_stream_session_window": _q50_stream_session_window,
         "q56_stream_static_join": _q56_stream_static_join,
-        "q57_grouping_sets": _q57_grouping_sets,
     }
 
 
@@ -971,6 +1012,83 @@ sh AS (SELECT DISTINCT doc_id,
                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
        FROM toks WHERE len(t) >= 3)
 """
+
+
+def _detect_docs_sql() -> str:
+    """Replay the REAL detect pandas UDF (functions/core.py:
+    probe/token scan → gap-merge → span_score) in pure DuckDB SQL over
+    the documents table — the q28 oracle that round 1 called impossible.
+
+    Exact because (a) the testdata text is single-space tokenized with
+    no punctuation (verified at generation), so token char offsets are
+    prefix sums of token lengths, and (b) the entry signatures are
+    three undigited tokens each, so the detector's greedy
+    prefix-tolerant regex (``_sig_regex``) reduces to: anchor == t[i],
+    then either t[i+1] == tok2 AND t[i+2] startswith tok3 (full match,
+    greedy longest) or t[i+1] startswith tok2 (2-token prefix match —
+    the regex stops mid-token, so the span length is the PATTERN
+    prefix length, not the token's). Same-signature spans with char
+    gap <= 8 (MERGE_GAP) merge to max score; per-sig matches can never
+    overlap for these patterns (no anchor recurs inside a span), so the
+    scanner's resume-after-match rule is vacuous here."""
+    rows = []
+    for s in _ENTRY_SIGS:
+        toks = s.tokens
+        assert len(toks) == 3 and not any(t.isdigit() for t in toks)
+        rows.append(
+            f"({s.sig_id}, '{toks[0]}', '{toks[1]}', '{toks[2]}', {s.weight!r})"
+        )
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH sigs(sig_id, a1, a2, a3, w) AS (VALUES
+              {values}),
+        toks AS (
+          SELECT source, doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents),
+        tok AS (
+          SELECT source, doc_id, t, unnest(t) AS tok,
+                 generate_subscripts(t, 1) AS i
+          FROM toks),
+        pos AS (
+          SELECT source, doc_id, t, tok, i,
+                 coalesce(sum(length(tok) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+          FROM tok),
+        m AS (
+          SELECT p.source, p.doc_id, s.sig_id, p.b,
+                 CASE WHEN p.t[p.i+1] = s.a2 AND starts_with(p.t[p.i+2], s.a3)
+                      THEN 3
+                      WHEN starts_with(p.t[p.i+1], s.a2) THEN 2
+                      ELSE 0 END AS nm,
+                 length(s.a1) + 1 + length(s.a2) AS len2,
+                 length(s.a1) + 1 + length(s.a2) + 1 + length(s.a3) AS len3,
+                 s.w AS w
+          FROM pos p JOIN sigs s ON p.tok = s.a1),
+        spans AS (
+          SELECT source, doc_id, sig_id, b,
+                 b + CASE WHEN nm = 3 THEN len3 ELSE len2 END AS e,
+                 round(w * (nm / 3.0), 6) AS score
+          FROM m WHERE nm >= 2),
+        flagged AS (
+          SELECT *, CASE WHEN b - coalesce(max(e) OVER (
+                   PARTITION BY doc_id, sig_id ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   -1000000) <= 8
+                 THEN 0 ELSE 1 END AS new_grp
+          FROM spans),
+        grp AS (
+          SELECT *, sum(new_grp) OVER (PARTITION BY doc_id, sig_id ORDER BY b
+                       ROWS UNBOUNDED PRECEDING) AS g
+          FROM flagged),
+        merged AS (
+          SELECT source, doc_id, sig_id, g, max(score) AS score
+          FROM grp GROUP BY source, doc_id, sig_id, g)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_detections,
+               round(avg(score), 4) AS avg_score
+        FROM merged WHERE score >= 0.5
+        GROUP BY source
+    """
 
 
 def _hex_byte_sql(col: str, i: int) -> str:
@@ -1409,7 +1527,7 @@ def oracle_sql() -> dict[str, str]:
                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
               FROM h)
             SELECT DISTINCT doc_id, fp
-            FROM wmin WHERE pos1 <= n_sh - 3
+            FROM wmin WHERE pos1 <= greatest(1, n_sh - 3)
         """,
         "q53_mad_udaf": """
             WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
@@ -1588,5 +1706,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_hex_byte_sql('h', 0)} AS BIGINT) AS f0,
                    CAST({_hex_byte_sql('h', 7)} AS BIGINT) AS f7
             FROM hx
+        """,
+        # q28: the real detect pandas UDF, replayed in SQL (see
+        # _detect_docs_sql docstring for why this is exact)
+        "q28_detect_udf_docs": _detect_docs_sql(),
+        # q58: IVF at nprobe == n_cells is exact ANN ⇒ brute-force
+        # top-k is the oracle (same SQL as q21 by construction)
+        "q58_ivf_topk": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_sum(list_transform(range(1, len(q.embedding) + 1),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+              FROM n q JOIN n c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10)
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored
+            QUALIFY rank <= 3
         """,
     }

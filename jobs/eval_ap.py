@@ -166,8 +166,17 @@ def evaluate_ap(predictions: DataFrame, golden: DataFrame,
         m = matched_predictions(predictions, golden, tau)
         ap = average_precision(m, gold_counts).withColumnRenamed("ap", name)
         result = ap if result is None else result.join(ap, "category", "full_outer")
+    # a category with golden rows but ZERO predictions never reaches
+    # average_precision (it only sees matched predictions) — without
+    # this outer join it would VANISH from the report instead of scoring
+    # ap=0, overstating the macro view (COCO scores missed classes as 0)
+    result = gold_counts.select("category").join(result, "category", "full_outer")
     mean_expr = sum(F.coalesce(F.col(c), F.lit(0.0)) for c in cols) / len(cols)
-    return result.select("category", *cols, F.round(mean_expr, 4).alias("ap_mean"))
+    return result.select(
+        "category",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in cols],
+        F.round(mean_expr, 4).alias("ap_mean"),
+    )
 
 
 def main() -> None:  # pragma: no cover - CLI wrapper

@@ -416,3 +416,84 @@ def test_winnow_fingerprints_guarantee(spark):
     assert sets[1] & sets[2], "shared run must share a fingerprint"
     assert not (sets[1] & sets[3])
     assert not (sets[2] & sets[3])
+
+
+def test_winnow_short_doc_gets_truncated_fingerprint(spark):
+    """A doc with fewer than `window` shingles must still emit ONE
+    fingerprint (min hash of its truncated window) — short documents
+    stay visible to fingerprint dedup instead of vanishing."""
+    import hashlib
+
+    from watermark_detector_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),      # 2 shingles < window=4
+         (2, "alpha beta"),                  # < n tokens: no shingles at all
+         (3, "alpha beta gamma")],           # exactly 1 shingle
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, n=3, window=4).toPandas()
+    by_doc = {d: sorted(g["fp"]) for d, g in fp.groupby("doc_id")}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert by_doc[1] == [min(h("alpha beta gamma"), h("beta gamma delta"))]
+    assert 2 not in by_doc  # sub-n docs have no shingles, hence no fp
+    assert by_doc[3] == [h("alpha beta gamma")]
+
+
+def test_eval_ap_missed_category_scores_zero(spark):
+    """A category with golden rows but ZERO predictions must appear in
+    the evaluate_ap report with ap=0 (not vanish): a fully-missed class
+    silently dropping out would overstate the detector's macro AP."""
+    from jobs.eval_ap import evaluate_ap
+
+    pred, gold = _eval_frames(
+        spark,
+        [("u1", 0, "watermark", 10, 20, 0.9)],
+        [("u1", 0, "watermark", 10, 20, False),
+         ("u2", 1, "text", 30, 40, False)],      # no prediction ever
+    )
+    res = evaluate_ap(pred, gold, iou_thresholds=(0.5, 0.75)).toPandas()
+    res = res.set_index("category")
+    assert "text" in res.index, "missed category must not vanish"
+    assert res.loc["text", "ap50"] == 0.0
+    assert res.loc["text", "ap75"] == 0.0
+    assert res.loc["text", "ap_mean"] == 0.0
+    assert res.loc["watermark", "ap50"] == 1.0
+
+
+def test_chunk_udtf_rejects_nonpositive_step(spark):
+    """step <= 0 (reachable straight from SQL) must raise, not hang the
+    executor task in an infinite while-loop."""
+    import pytest as _pytest
+
+    from watermark_detector_spark.functions.text import HAS_UDTF, ChunkText
+
+    if not HAS_UDTF:
+        _pytest.skip("pyspark without UDTF support")
+    spark.udtf.register("wmd_chunk_text_guard", ChunkText)
+    with _pytest.raises(Exception, match="step must be >= 1"):
+        spark.sql(
+            "SELECT * FROM wmd_chunk_text_guard('some text here', 32, 0)"
+        ).collect()
+    with _pytest.raises(Exception, match="chunk_tokens must be >= 1"):
+        spark.sql(
+            "SELECT * FROM wmd_chunk_text_guard('some text here', 0, 8)"
+        ).collect()
+
+
+def test_dedup_queries_leave_no_cached_storage(spark):
+    """jaccard_pairs/near_dup_pairs must not pin executor storage across
+    calls (round-2 leak: a .cache() whose DataFrame is returned lazily
+    can never be unpersisted by the operator)."""
+    from watermark_detector_spark.operators.dedup import (
+        jaccard_pairs,
+        near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta common tail here")
+         for i in range(30)],
+        "doc_id long, text string")
+    jaccard_pairs(docs, threshold=0.3).collect()
+    near_dup_pairs(docs, threshold=0.3).collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() == 0, f"leaked persistent RDDs: {jmap}"

@@ -305,3 +305,89 @@ def test_transform_with_state_matches_apply_in_pandas(spark, fixture_cfg,
         .toPandas().sort_values("domain").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+
+
+def test_sink_crash_between_data_and_manifest(spark, tmp_path_factory):
+    """Fault injection on the exactly-once protocol's crash window: data
+    files land, the process dies BEFORE the manifest publishes. The
+    orphan batch must be invisible to read(), absent from lineage, and
+    the replayed write must commit it with identical rows and no
+    duplicates — this is the claim that makes every micro-batch
+    resumable from checkpoint."""
+    import shutil as _shutil
+
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    root = str(tmp_path_factory.mktemp("sink_crash"))
+    sink = ExactlyOnceParquetSink(root, output_partitions=2)
+    b0 = spark.range(50).withColumnRenamed("id", "v")
+    b1 = spark.range(50, 80).withColumnRenamed("id", "v")
+    sink.write_batch(b0, 0)
+    sink.write_batch(b1, 1)
+    # simulate the crash: batch 1's data files exist, manifest does not
+    os.remove(os.path.join(root, "_manifest", "1.json"))
+    assert sink.committed_batches() == [0]
+    got = sink.read(spark)
+    assert sorted(r["v"] for r in got.collect()) == list(range(50))  # orphan invisible
+    # replay (what the restarted stream does): batch 1 re-commits
+    sink.write_batch(b1, 1)
+    assert sink.committed_batches() == [0, 1]
+    assert sink.manifest()[1]["n_rows"] == 30
+    assert sorted(r["v"] for r in sink.read(spark).collect()) == list(range(80))
+    # second crash flavor: data dir half-written (no manifest) — replay
+    # overwrites it wholesale, never appends
+    data1 = os.path.join(root, "data", "batch_id=1")
+    os.remove(os.path.join(root, "_manifest", "1.json"))
+    _shutil.rmtree(data1)
+    os.makedirs(data1)
+    open(os.path.join(data1, "garbage.parquet.tmp"), "w").write("junk")
+    sink.write_batch(b1, 1)
+    assert sorted(r["v"] for r in sink.read(spark).collect()) == list(range(80))
+
+
+def test_streaming_state_is_bounded_over_many_batches(spark, tmp_path_factory):
+    """Soak-shaped state audit: a windowed agg with watermark over ~40
+    micro-batches (maxFilesPerTrigger=1, event time advancing per file)
+    must hold the state-store row count FLAT once the watermark starts
+    evicting — state ∝ watermark horizon, NOT stream length. This is
+    the pytest behind the 100 TB claim that long-running streams don't
+    accrue state."""
+    import pandas as pd
+
+    src_dir = tmp_path_factory.mktemp("soak_src")
+    ckpt = str(tmp_path_factory.mktemp("soak_ckpt"))
+    n_files, per_file = 40, 60
+    base = pd.Timestamp("2025-03-01 00:00:00")
+    for i in range(n_files):
+        ts = [base + pd.Timedelta(minutes=10 * i, seconds=10 * j)
+              for j in range(per_file)]
+        pdf = pd.DataFrame({
+            "ts": pd.Series(ts, dtype="datetime64[us]"),
+            "etype": [f"t{j % 3}" for j in range(per_file)],
+            "value": [float(j) for j in range(per_file)],
+        })
+        pdf.to_parquet(os.path.join(str(src_dir), f"f{i:03d}.parquet"))
+
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = (spark.readStream.schema("ts timestamp, etype string, value double")
+               .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+        agg = (src.withWatermark("ts", "10 minutes")
+               .groupBy(F.window("ts", "5 minutes"), "etype")
+               .agg(F.count(F.lit(1)).alias("n")))
+        q = (agg.writeStream.outputMode("append").format("memory")
+             .queryName("wmd_soak").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        prog = [p for p in q.recentProgress if p["stateOperators"]]
+        state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in prog]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert len(state_rows) >= 30, f"expected ~40 micro-batches, got {len(state_rows)}"
+    # each file spans 10 min = 2 windows x 3 types = 6 rows; the horizon
+    # keeps <= ~3 unemitted windows alive -> state must stay O(10), and
+    # the TAIL must not exceed the early plateau (no monotone growth)
+    warm = state_rows[5:]
+    assert max(warm) <= 30, f"state grew with stream length: {state_rows}"
+    assert state_rows[-1] <= max(state_rows[:10]), (
+        f"state still growing at end: {state_rows}")

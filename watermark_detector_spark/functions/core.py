@@ -158,7 +158,17 @@ class CompiledDetector:
     a token boundary (start-of-text or preceded by whitespace), and
     honor the same resume-after-match rule — results are identical on
     ANY input, so crossing the threshold can never change detections
-    (t:test_token_scan_equals_probe_scan)."""
+    (t:test_token_scan_equals_probe_scan).
+
+    Token model (spec decision): a token boundary is WHITESPACE, not \\w
+    — '(wm003sig tok 123' does not match. This is deliberate and
+    engine-wide: every text operator here (token_count, shingles,
+    chunking, winnowing) splits on \\s+, the golden fixtures splice
+    signatures at whitespace token positions, and the SQL oracles (q23,
+    q28) replay exactly this rule. The reference has no text analog to
+    settle it (its detector is visual — train_watermarks.py:312); a
+    \\w-boundary variant would only add matches on punctuation-glued
+    anchors at the cost of three divergent tokenizations in one engine."""
 
     __slots__ = ("sigs", "probes", "anchor_map", "use_token_scan")
 

@@ -378,7 +378,8 @@ def _ivf_assign(df: DataFrame, cents, id_col: str, vec_col: str,
 
 def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
              nprobe: int = 2, n_iters: int = 3, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             n_queries: int | None = None) -> DataFrame:
     """Approximate top-k via IVF: vectors index into their nearest
     coarse cell; each query probes its ``nprobe`` nearest cells and
     scores only those members. Candidate volume is N²·nprobe/n_cells —
@@ -417,7 +418,12 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
             yield pd.DataFrame({id_col: ids, vec_col: vecs,
                                 "cell": order.ravel().astype("int32")})
 
-    probes = df.select(id_col, vec_col).mapInPandas(
+    queries = df.select(id_col, vec_col)
+    if n_queries is not None:
+        # restrict the QUERY side only — neighbors still come from the
+        # whole indexed corpus (same contract as brute_force_topk)
+        queries = queries.where(F.col(id_col) < n_queries)
+    probes = queries.mapInPandas(
         _probe, schema=f"{id_col} long, {vec_col} array<float>, cell int"
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vq"), "cell")
 

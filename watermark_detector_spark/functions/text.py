@@ -105,6 +105,12 @@ try:  # Python UDTF (pyspark >= 3.5): table-valued chunker
         oracle-checked (driver query q54)."""
 
         def eval(self, text: str, chunk_tokens: int, step: int):
+            # reachable straight from SQL (LATERAL wmd_chunk_text(t, 32, 0));
+            # step <= 0 would loop the executor task forever — raise instead
+            if chunk_tokens is None or chunk_tokens < 1:
+                raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+            if step is None or step < 1:
+                raise ValueError(f"step must be >= 1, got {step}")
             if text is None:
                 return
             toks = text.split()

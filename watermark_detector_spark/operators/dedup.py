@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.text import prefix_fingerprint, tokens_col
 
@@ -70,20 +71,24 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
     Quadratic in bucket size — the CORRECTNESS oracle. At scale, run
     minhash_lsh_candidates first and compute Jaccard only on candidate
     pairs."""
-    sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    # per-doc shingle count rides along as a window over the same
+    # doc-keyed rows instead of a separate agg + two joins — removes the
+    # old `.cache()` (which leaked executor storage across calls: a
+    # DataFrame cache lives in the CacheManager until explicitly
+    # unpersisted, and a lazily-returned result can't unpersist safely)
+    sized = shingles(df, id_col, text_col, n).withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col))
+    )
+    a = sized.select(F.col(id_col).alias("id_a"), "shingle",
+                     F.col("n_sh").alias("n_a"))
+    b = sized.select(F.col(id_col).alias("id_b"), "shingle",
+                     F.col("n_sh").alias("n_b"))
+    return (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
         .select(
             "id_a", "id_b",
             F.round(
@@ -144,20 +149,19 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.5, n_bands: int = 4,
     LSH can only MISS pairs, never fabricate them, so precision is
     exact by construction."""
     cand = minhash_lsh_candidates(df, n_bands, id_col, text_col, n)
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    sized = shingles(df, id_col, text_col, n).withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col))
+    )
+    sa = sized.select(F.col(id_col).alias("id_a"), "shingle",
+                      F.col("n_sh").alias("n_a"))
+    sb = sized.select(F.col(id_col).alias("id_b"), "shingle",
+                      F.col("n_sh").alias("n_b"))
+    return (
         cand.join(sa, "id_a")
         .join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(za, "id_a").join(zb, "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
         .select(
             "id_a", "id_b",
             F.round(
@@ -198,10 +202,11 @@ def winnow_fingerprints(df: DataFrame, n: int = 3, window: int = 4,
     minimum; the DISTINCT selected hashes are the fingerprint set.
     Guarantees: any shared run of >= window+n-1 tokens between two docs
     shares at least one fingerprint, and the set is position-robust to
-    local edits (unlike whole-doc md5). Pure window expressions — one
-    shuffle on the doc key, no UDF; oracle-checked (q55)."""
-    from pyspark.sql.window import Window as W
-
+    local edits (unlike whole-doc md5). Docs with fewer than ``window``
+    shingles keep the min hash of the single truncated window (pos 0),
+    so short documents stay visible to fingerprint dedup instead of
+    emitting nothing. Pure window expressions — one shuffle on the doc
+    key, no UDF; oracle-checked (q55)."""
     sh = ordered_shingles(df, id_col, text_col, n).withColumn(
         "h", F.md5(F.col("shingle").cast("binary"))
     )
@@ -212,7 +217,8 @@ def winnow_fingerprints(df: DataFrame, n: int = 3, window: int = 4,
     return (
         sh.withColumn("fp", F.min("h").over(w))
         .withColumn("_max_pos", F.max("pos").over(w_all))
-        .where(F.col("pos") <= F.col("_max_pos") - (window - 1))
+        .where(F.col("pos")
+               <= F.greatest(F.lit(0), F.col("_max_pos") - (window - 1)))
         .select(id_col, "fp")
         .distinct()
     )
