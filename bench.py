@@ -43,6 +43,8 @@ MFPT = int(os.environ.get("WMD_BENCH_MFPT", "16"))
 BENCH_ROOT = os.environ.get("WMD_BENCH_ROOT", "/root/repo/.bench")
 SKIP_TESTDATA = bool(os.environ.get("WMD_BENCH_SKIP_TESTDATA"))
 SKIP_STREAM = bool(os.environ.get("WMD_BENCH_SKIP_STREAM"))
+SKIP_SOAK = bool(os.environ.get("WMD_BENCH_SKIP_SOAK"))
+SOAK_BATCHES = int(os.environ.get("WMD_BENCH_SOAK_BATCHES", "96"))
 
 
 def main() -> None:
@@ -189,6 +191,33 @@ def main() -> None:
     extras["docs_per_sec_stream"] = round(N_DOCS / timings["flagship_stream_e2e"], 1)
     if sustained:
         extras["docs_per_sec_stream_sustained"] = round(max(sustained), 1)
+    # --- soak: bounded-state + per-commit latency evidence ---------------
+    # time-ordered stream, ONE file per commit (the long-running-stream
+    # shape): state rows must plateau at the watermark horizon, and the
+    # p50/p95 commit latency is the sustained-latency figure. The full
+    # few-hundred-batch artifact is jobs/soak.py; this is the per-round
+    # sample the driver records.
+    if not SKIP_SOAK:
+        from jobs.soak import run_phase, stage_time_ordered_stream
+        from watermark_detector_spark.plans.flagship import flagship_stream
+        from watermark_detector_spark.sources.pages import read_pages_stream
+
+        soak_cfg = FixtureConfig(
+            n_docs=SOAK_BATCHES * 150, n_domains=200,
+            span_s=SOAK_BATCHES * 60, n_sigs=N_SIGS,
+        )
+        sdir = stage_time_ordered_stream(spark, soak_cfg, SOAK_BATCHES, BENCH_ROOT)
+        sckpt = os.path.join(BENCH_ROOT, f"soak_bench_ckpt_{cores}")
+        shutil.rmtree(sckpt, ignore_errors=True)
+        res = run_phase(
+            spark, "flagship",
+            lambda: flagship_stream(
+                read_pages_stream(spark, sdir, max_files_per_trigger=1),
+                soak_cfg.signatures,
+            ),
+            sckpt, "append",
+        )
+        extras.update({f"soak_{k}": v for k, v in res.items()})
     spark.conf.set("spark.sql.shuffle.partitions", batch_sp)
 
     # --- detector scan microbench: flat-in-n_sigs evidence ---------------

@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Sink maintenance job: fold per-micro-batch commits into one compacted
+range (small-file compaction, Iceberg rewrite_data_files analog) and GC
+shadowed entries. Run periodically next to a long-lived stream — scan
+cost at 10^12 docs degrades with FILE COUNT, not byte count, and a
+streaming sink commits a few files per trigger.
+
+Usage:
+  spark-submit --py-files dist/watermark_detector_spark.zip \
+    jobs/compact.py --sink <root> [--output-partitions 8] [--no-vacuum]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sink", required=True)
+    ap.add_argument("--output-partitions", type=int, default=8)
+    ap.add_argument("--no-vacuum", action="store_true")
+    args = ap.parse_args()
+
+    from watermark_detector_spark.session import get_spark
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    spark = get_spark(app_name="wmd-compact")
+    sink = ExactlyOnceParquetSink(args.sink)
+    entry = sink.compact(spark, output_partitions=args.output_partitions,
+                         vacuum=not args.no_vacuum)
+    print(json.dumps({
+        "sink": args.sink,
+        "compacted": entry,
+        "committed_batches": len(sink.committed_batches()),
+        "manifest_files": sum(m["n_files"] for m in sink.manifest()),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,9 @@ def run_bench(n_executors: int) -> dict:
         WMD_EXEC_CORES=str(EXEC_CORES),
         WMD_BENCH_MFPT="64",
         WMD_BENCH_SKIP_TESTDATA="1",
+        # scaling measures throughput; the soak (latency/state audit) is
+        # a separate artifact and would only add fixed time per level
+        WMD_BENCH_SKIP_SOAK="1",
     )
     # pin the level to exactly its core budget (see module docstring)
     n_cpus = n_executors * EXEC_CORES + DRIVER_CORES

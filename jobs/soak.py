@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Streaming soak: a few-hundred-micro-batch run of the flagship stream
+with the stateful operators active, recording PER-COMMIT latency and
+state-store size. This is the measured evidence behind the 100 TB
+posture claim that long-running streams hold state bounded by the
+watermark horizon (domains x open windows), NOT by stream length — the
+state-row curve must go flat once the watermark starts evicting.
+
+Phases (same time-ordered staged stream, maxFilesPerTrigger=1 => one
+micro-batch per file):
+  A. flagship        windowed agg + watermark -> exactly-once sink
+  B. track_best      applyInPandasWithState running-best per domain
+  C. session_stats   applyInPandasWithState w/ EventTimeTimeout sessions
+
+Prints ONE JSON line:
+  {"phases": {name: {batches, p50_ms, p95_ms, state_rows_max,
+                     state_rows_final, state_mb_max, flat: bool}}, ...}
+
+Flatness criterion per phase: final state rows <= max over the first
+half of the run (i.e. the second half added NO net state).
+
+Usage: python jobs/soak.py [--batches 300] [--docs-per-batch 250]
+                           [--cpus 8] [--span-min 600]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BENCH_ROOT = os.environ.get("WMD_BENCH_ROOT", "/root/repo/.bench")
+
+
+def stage_time_ordered_stream(spark, cfg, n_files: int, root: str) -> str:
+    """Corpus -> n_files parquet files ordered by warc_ts (file k holds
+    the k-th event-time range, mtime increasing with k) so the
+    file-stream replay advances the watermark monotonically — the shape
+    a real ingest (kafka/iceberg appends) has."""
+    from watermark_detector_spark.fixtures import generate_pages_spark
+    from watermark_detector_spark.sources.pages import read_pages_batch
+
+    key = f"soak_{cfg.n_docs}_f{n_files}_s{cfg.n_sigs}_sp{cfg.span_s}"
+    stream_dir = os.path.join(root, key)
+    if os.path.exists(os.path.join(stream_dir, "_STAGED")):
+        return stream_dir
+    pages_path = os.path.join(root, key + "_pages")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        generate_pages_spark(spark, cfg, pages_path, n_partitions=32)
+    tmp = stream_dir + "_tmp"
+    (
+        read_pages_batch(spark, pages_path)
+        .repartitionByRange(n_files, "warc_ts")
+        .sortWithinPartitions("warc_ts")
+        .write.mode("overwrite").parquet(tmp)
+    )
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        dst = os.path.join(stream_dir, f"batch_{i:05d}.parquet")
+        shutil.copy2(os.path.join(tmp, f), dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    open(os.path.join(stream_dir, "_STAGED"), "w").write(str(len(parts)))
+    return stream_dir
+
+
+def _pctl(xs: list[float], q: float) -> float:
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(q * len(xs)))] if xs else 0.0
+
+
+def run_phase(spark, name: str, stream_df_fn, ckpt: str, output_mode: str):
+    """Run one availableNow pass with maxFilesPerTrigger=1, collecting
+    per-commit latency + state size from StreamingQueryProgress."""
+    from watermark_detector_spark.streaming.pipeline import MetricsListener
+
+    ml = MetricsListener()
+    spark.streams.addListener(ml)
+    try:
+        q = (
+            stream_df_fn()
+            .writeStream.outputMode(output_mode)
+            .foreachBatch(lambda df, bid: df.write.format("noop").mode("overwrite").save())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time as _t
+
+        _t.sleep(1.5)  # let the last progress events land
+    finally:
+        spark.streams.removeListener(ml)
+    data = [p for p in ml.progress if p["numInputRows"]]
+    lat = [p["durationMs"].get("triggerExecution", 0) for p in data]
+    rows = [p["stateRowsTotal"] for p in data]
+    mem = [p["stateMemoryBytes"] for p in data]
+    half = max(1, len(rows) // 2)
+    # flat = the second half added no NET state beyond plateau noise
+    # (15% tolerance: the plateau is domains-per-window dependent and
+    # wobbles; what must NOT happen is growth proportional to batches)
+    return {
+        "batches": len(data),
+        "p50_ms": _pctl(lat, 0.50),
+        "p95_ms": _pctl(lat, 0.95),
+        "state_rows_max": max(rows, default=0),
+        "state_rows_final": rows[-1] if rows else 0,
+        "state_mb_max": round(max(mem, default=0) / 1e6, 2),
+        "flat": bool(rows and rows[-1] <= 1.15 * max(rows[:half])),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=300)
+    ap.add_argument("--docs-per-batch", type=int, default=250)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--span-min", type=int, default=600,
+                    help="event-time span of the corpus in minutes")
+    ap.add_argument("--phases", default="flagship,track_best,session_stats")
+    args = ap.parse_args()
+
+    from watermark_detector_spark.fixtures import FixtureConfig
+    from watermark_detector_spark.plans.flagship import (
+        flagship_stream,
+        kept_detections_fused,
+    )
+    from watermark_detector_spark.session import get_spark
+    from watermark_detector_spark.sources.pages import read_pages_stream
+    from watermark_detector_spark.streaming.state import session_stats, track_best
+
+    spark = get_spark(app_name="wmd-soak", cpus=args.cpus, extra_conf={
+        "spark.sql.shuffle.partitions": "8",
+    })
+    cfg = FixtureConfig(
+        n_docs=args.batches * args.docs_per_batch, n_domains=200,
+        span_s=args.span_min * 60, n_sigs=100,
+    )
+    stream_dir = stage_time_ordered_stream(spark, cfg, args.batches, BENCH_ROOT)
+    scratch = os.path.join(BENCH_ROOT, "soak_run")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    def pages():
+        return read_pages_stream(spark, stream_dir, max_files_per_trigger=1)
+
+    def kept():
+        return kept_detections_fused(pages(), cfg.signatures)
+
+    phase_fns = {
+        "flagship": (lambda: flagship_stream(pages(), cfg.signatures), "append"),
+        "track_best": (lambda: track_best(kept()), "update"),
+        "session_stats": (lambda: session_stats(kept()), "append"),
+    }
+    out = {}
+    for name in args.phases.split(","):
+        fn, mode = phase_fns[name]
+        out[name] = run_phase(spark, name, fn, os.path.join(scratch, f"ckpt_{name}"), mode)
+    print(json.dumps({
+        "metric": "soak", "batches": args.batches,
+        "docs_per_batch": args.docs_per_batch, "cpus": args.cpus,
+        "phases": out,
+        "all_flat": all(p["flat"] for p in out.values()),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

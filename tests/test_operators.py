@@ -493,7 +493,19 @@ def test_dedup_queries_leave_no_cached_storage(spark):
         [(i, f"tok{i} alpha beta gamma delta epsilon zeta common tail here")
          for i in range(30)],
         "doc_id long, text string")
+
+    def persistent_ids():
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # delta-based: the shared test session may hold localCheckpoint RDDs
+    # from earlier tests (released by GC, not by unpersist) — the claim
+    # here is that the dedup operators themselves pin NOTHING new
+    before = persistent_ids()
     jaccard_pairs(docs, threshold=0.3).collect()
     near_dup_pairs(docs, threshold=0.3).collect()
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    assert jmap.size() == 0, f"leaked persistent RDDs: {jmap}"
+    leaked = persistent_ids() - before
+    assert not leaked, f"dedup operators leaked persistent RDDs: {leaked}"

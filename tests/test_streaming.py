@@ -391,3 +391,62 @@ def test_streaming_state_is_bounded_over_many_batches(spark, tmp_path_factory):
     assert max(warm) <= 30, f"state grew with stream length: {state_rows}"
     assert state_rows[-1] <= max(state_rows[:10]), (
         f"state still growing at end: {state_rows}")
+
+
+def test_sink_compaction_preserves_exactly_once(spark, tmp_path_factory):
+    """Small-file compaction (Iceberg snapshot-rewrite analog): folding
+    per-batch commits into one range manifest must change NOTHING a
+    reader or a replayed writer can observe — same rows, same committed
+    ledger, replays of covered batches still no-ops — while slashing
+    file count. Every crash window of the protocol is simulated."""
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    root = str(tmp_path_factory.mktemp("sink_compact"))
+    sink = ExactlyOnceParquetSink(root, output_partitions=4)
+    for b in range(6):
+        sink.write_batch(
+            spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "v"), b)
+    before = sorted(r["v"] for r in sink.read(spark).collect())
+    n_files_before = sum(m["n_files"] for m in sink.manifest())
+
+    entry = sink.compact(spark, output_partitions=2)
+    assert entry["lo"] == 0 and entry["hi"] == 5 and entry["n_rows"] == 60
+    assert sink.committed_batches() == list(range(6))
+    assert sorted(r["v"] for r in sink.read(spark).collect()) == before
+    assert sum(m["n_files"] for m in sink.manifest()) == 2 < n_files_before
+    # replay of a compacted-away batch is STILL a no-op (ledger intact)
+    sink.write_batch(spark.range(999).withColumnRenamed("id", "v"), 3)
+    assert sorted(r["v"] for r in sink.read(spark).collect()) == before
+    # stream continues after compaction: new loose batch + read union
+    sink.write_batch(spark.range(60, 70).withColumnRenamed("id", "v"), 6)
+    assert sorted(r["v"] for r in sink.read(spark).collect()) == list(range(70))
+    assert sink.committed_batches() == list(range(7))
+
+    # crash window 1: compacted data written, range manifest NOT yet
+    # published -> readers still see per-batch truth; rerun completes
+    sink2root = str(tmp_path_factory.mktemp("sink_compact2"))
+    sink2 = ExactlyOnceParquetSink(sink2root, output_partitions=4)
+    for b in range(3):
+        sink2.write_batch(
+            spark.range(b * 5, b * 5 + 5).withColumnRenamed("id", "v"), b)
+    want2 = sorted(r["v"] for r in sink2.read(spark).collect())
+    sink2.compact(spark, vacuum=False)  # publish, but keep old manifests
+    # simulate crash BEFORE publish by deleting only the range manifest:
+    os.remove(os.path.join(sink2root, "_manifest", "compact_0-2.json"))
+    assert sorted(r["v"] for r in sink2.read(spark).collect()) == want2
+    sink2.compact(spark)  # replay: re-publishes and vacuums
+    assert sorted(r["v"] for r in sink2.read(spark).collect()) == want2
+    assert sink2.vacuum() == 0  # idempotent, nothing left to sweep
+
+    # crash window 2: range manifest published, vacuum died mid-sweep ->
+    # shadowed per-batch entries must NOT double-read
+    sink3root = str(tmp_path_factory.mktemp("sink_compact3"))
+    sink3 = ExactlyOnceParquetSink(sink3root, output_partitions=4)
+    for b in range(3):
+        sink3.write_batch(
+            spark.range(b * 5, b * 5 + 5).withColumnRenamed("id", "v"), b)
+    want3 = sorted(r["v"] for r in sink3.read(spark).collect())
+    sink3.compact(spark, vacuum=False)  # published, old manifests remain
+    assert sorted(r["v"] for r in sink3.read(spark).collect()) == want3
+    assert sink3.vacuum() == 3
+    assert sorted(r["v"] for r in sink3.read(spark).collect()) == want3

@@ -29,9 +29,13 @@ def engine_conf(cpus: int = DEFAULT_CPUS) -> dict[str, str]:
         "spark.sql.shuffle.partitions": str(max(cpus, 4)),
         # --- Arrow boundary for pandas UDFs (extract/detect hot path) ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # 1024 measured best for ~4.5 kB pages: small batches pipeline the
-        # JVM->python Arrow writer/reader threads; 16k batches stall them
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+        # re-measured round 3 (detect is ~5x cheaper per row since the
+        # token scan, so Arrow framing overhead now dominates the old
+        # pipelining concern): 200k-page fused extract+detect stage runs
+        # 71.8k/79.0k/81.3k docs/s at 1024/4096/16384. 4096 takes most
+        # of the win at ~18 MB per batch per core (16384's ~74 MB would
+        # pressure small executors at the 100 TB operating point).
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
         # --- event-time stability ---
         "spark.sql.session.timeZone": "UTC",
         # --- scan sizing: partitions that fit executor memory at scale ---

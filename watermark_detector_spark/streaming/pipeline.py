@@ -42,6 +42,10 @@ class MetricsListener(StreamingQueryListener):
             "inputRowsPerSecond": p.inputRowsPerSecond,
             "processedRowsPerSecond": p.processedRowsPerSecond,
             "durationMs": dict(p.durationMs) if p.durationMs else {},
+            # state-store footprint per commit — the soak artifact that
+            # evidences bounded state on long-running streams
+            "stateRowsTotal": sum(s.numRowsTotal for s in p.stateOperators),
+            "stateMemoryBytes": sum(s.memoryUsedBytes for s in p.stateOperators),
         }
         self.progress.append(row)
         if self.out_path:

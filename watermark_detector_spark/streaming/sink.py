@@ -15,6 +15,16 @@ Protocol (Iceberg-style snapshot log, no Iceberg jar needed):
 3. Readers take ONLY batches listed in the manifest: a crash between
    data write and manifest write leaves an invisible orphan that the
    replay overwrites.
+4. ``compact()`` (Iceberg snapshot-rewrite analog) folds committed
+   per-batch manifests into one range manifest over rewritten data
+   files — the small-file story at 10^12 docs: a long-running stream
+   commits a few files per micro-batch, and scan cost degrades with
+   file count, not byte count. Ordering makes every crash window safe:
+   (a) compacted data lands (orphan until published), (b) the range
+   manifest publishes atomically — from here readers PREFER the range
+   and ignore covered per-batch entries — then (c) covered per-batch
+   manifests and data dirs are vacuumed (pure GC; a crash mid-vacuum
+   leaves shadowed entries that the next vacuum sweeps).
 
 ALL manifest/listing IO goes through the Hadoop FileSystem API resolved
 from the root URI (``_HadoopFS``), so the same protocol runs unchanged
@@ -79,6 +89,9 @@ class _HadoopFS:
         finally:
             stream.close()
 
+    def delete(self, p: str, recursive: bool = False) -> None:
+        self._fs.delete(self._Path(p), recursive)
+
     def parquet_rows(self, p: str) -> int:
         """Row count from the parquet footer via the Hadoop input file —
         no extra Spark job per batch, works on any FS scheme."""
@@ -115,6 +128,17 @@ class _LocalFS:
         with open(p) as fh:
             return fh.read()
 
+    def delete(self, p: str, recursive: bool = False) -> None:
+        import shutil
+
+        if os.path.isdir(p):
+            if recursive:
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.rmdir(p)
+        elif os.path.exists(p):
+            os.remove(p)
+
     def parquet_rows(self, p: str) -> int:
         import pyarrow.parquet as pq
 
@@ -145,12 +169,40 @@ class ExactlyOnceParquetSink:
                 )
         return self._fs_cache
 
+    # -- manifest listing (ranges first: compaction shadowing) -------------
+    def _manifest_state(self) -> tuple[list[dict], list[int]]:
+        """(compacted range entries, uncovered per-batch ids). A batch id
+        inside any published range is SHADOWED: its per-batch manifest
+        (which vacuuming may not have swept yet) is ignored."""
+        fs = self.fs
+        ranges, singles = [], []
+        for f in fs.listdir(self.manifest_dir):
+            if not f.endswith(".json"):
+                continue
+            stem = f[:-5]
+            if stem.startswith("compact_"):
+                lo, hi = stem[len("compact_"):].split("-")
+                ranges.append({"lo": int(lo), "hi": int(hi), "file": f})
+            else:
+                singles.append(int(stem))
+        covered = set()
+        for r in ranges:
+            covered.update(range(r["lo"], r["hi"] + 1))
+        return sorted(ranges, key=lambda r: r["lo"]), sorted(
+            b for b in singles if b not in covered
+        )
+
+    def _is_covered(self, batch_id: int) -> bool:
+        ranges, _ = self._manifest_state()
+        return any(r["lo"] <= batch_id <= r["hi"] for r in ranges)
+
     # -- write side (foreachBatch) ----------------------------------------
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         fs = self.fs
         manifest_path = os.path.join(self.manifest_dir, f"{batch_id}.json")
-        if fs.exists(manifest_path):
-            # replayed batch already committed — exactly-once no-op
+        if fs.exists(manifest_path) or self._is_covered(batch_id):
+            # replayed batch already committed (directly or via a
+            # compacted range) — exactly-once no-op
             return
         fs.mkdirs(self.data_dir)
         fs.mkdirs(self.manifest_dir)
@@ -174,21 +226,103 @@ class ExactlyOnceParquetSink:
 
     # -- read side ---------------------------------------------------------
     def committed_batches(self) -> list[int]:
-        return sorted(
-            int(f[:-5]) for f in self.fs.listdir(self.manifest_dir)
-            if f.endswith(".json")
-        )
+        """All committed batch ids — directly manifested or covered by a
+        compacted range (the exactly-once ledger survives compaction)."""
+        ranges, singles = self._manifest_state()
+        ids = set(singles)
+        for r in ranges:
+            ids.update(range(r["lo"], r["hi"] + 1))
+        return sorted(ids)
 
     def manifest(self) -> list[dict]:
         fs = self.fs
-        return [
+        ranges, singles = self._manifest_state()
+        entries = [
+            json.loads(fs.read_text(os.path.join(self.manifest_dir, r["file"])))
+            for r in ranges
+        ] + [
             json.loads(fs.read_text(os.path.join(self.manifest_dir, f"{b}.json")))
-            for b in self.committed_batches()
+            for b in singles
         ]
+        return sorted(entries, key=lambda e: e.get("batch_id", e.get("lo")))
+
+    def _data_paths(self) -> list[str]:
+        ranges, singles = self._manifest_state()
+        return [
+            os.path.join(self.data_dir, f"compact_{r['lo']}-{r['hi']}")
+            for r in ranges
+        ] + [os.path.join(self.data_dir, f"batch_id={b}") for b in singles]
 
     def read(self, spark: SparkSession) -> DataFrame:
-        batches = self.committed_batches()
-        if not batches:
+        paths = self._data_paths()
+        if not paths:
             raise ValueError(f"no committed batches under {self.root}")
-        paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in batches]
         return spark.read.parquet(*paths)
+
+    # -- maintenance: small-file compaction (snapshot rewrite) -------------
+    def compact(self, spark: SparkSession, output_partitions: int | None = None,
+                vacuum: bool = True) -> dict | None:
+        """Fold every currently-uncovered per-batch commit into ONE
+        range manifest over rewritten data files. Crash-safe by
+        ordering (see module docstring): data → atomic range-manifest
+        publish → vacuum (GC only). Returns the new range entry, or
+        None if there is nothing to fold (< 2 loose batches).
+
+        At 10^12-doc scale this runs as a periodic maintenance job next
+        to the stream (exactly how Iceberg's rewrite_data_files compains
+        a streaming table); readers never block and never double-read."""
+        fs = self.fs
+        ranges, singles = self._manifest_state()
+        # fold only a CONTIGUOUS run: a range manifest asserts every id
+        # inside it is committed, so a gap (possible after a partial
+        # replay) must never be papered over
+        run = []
+        for b in singles:
+            if run and b != run[-1] + 1:
+                break
+            run.append(b)
+        if len(run) < 2:
+            return None
+        lo, hi = run[0], run[-1]
+        # rewrite the loose batches' rows into one compacted dir
+        src = [os.path.join(self.data_dir, f"batch_id={b}") for b in run]
+        out = os.path.join(self.data_dir, f"compact_{lo}-{hi}")
+        df = spark.read.parquet(*src)
+        df.coalesce(output_partitions or self.output_partitions or 8) \
+            .write.mode("overwrite").parquet(out)
+        files = sorted(f for f in fs.listdir(out) if f.endswith(".parquet"))
+        n_rows = sum(fs.parquet_rows(os.path.join(out, f)) for f in files)
+        entry = {
+            "lo": lo, "hi": hi, "batch_ids": run, "n_rows": n_rows,
+            "n_files": len(files), "files": files,
+            "committed_at_epoch": time.time(),
+        }
+        # atomic publish: from this instant readers take the range and
+        # ignore the (still-present) covered per-batch manifests
+        fs.write_atomic(
+            os.path.join(self.manifest_dir, f"compact_{lo}-{hi}.json"),
+            json.dumps(entry),
+        )
+        if vacuum:
+            self.vacuum()
+        return entry
+
+    def vacuum(self) -> int:
+        """GC per-batch manifests + data dirs shadowed by a published
+        range. Idempotent and crash-safe — everything it removes is
+        already invisible to readers."""
+        fs = self.fs
+        ranges, _ = self._manifest_state()
+        covered = set()
+        for r in ranges:
+            covered.update(range(r["lo"], r["hi"] + 1))
+        swept = 0
+        for f in fs.listdir(self.manifest_dir):
+            if f.endswith(".json") and not f.startswith("compact_"):
+                b = int(f[:-5])
+                if b in covered:
+                    fs.delete(os.path.join(self.manifest_dir, f))
+                    fs.delete(os.path.join(self.data_dir, f"batch_id={b}"),
+                              recursive=True)
+                    swept += 1
+        return swept
