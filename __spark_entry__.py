@@ -729,6 +729,25 @@ def _q55_winnow_fingerprints(spark, sf: str) -> DataFrame:
     return winnow_fingerprints(d, n=3, window=4)
 
 
+def _q59_dedup_clusters(spark, sf: str) -> DataFrame:
+    """Dedup pipeline stage 3: transitive closure of near-dup PAIRS into
+    CLUSTERS (connected components; cluster_id = min doc id). Near-dup
+    is not transitive, so keeper selection needs components, not pairs.
+    Spark side: min-label propagation with pointer jumping
+    (operators/dedup.dedup_clusters, O(log diameter) rounds); oracle:
+    DuckDB recursive CTE over the same LSH→Jaccard pair set."""
+    from watermark_detector_spark.operators.dedup import (
+        dedup_clusters,
+        near_dup_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    pairs = near_dup_pairs(d, threshold=0.5)
+    return dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 def _q58_ivf_topk(spark, sf: str) -> DataFrame:
     """IVF ANN top-k run at nprobe == n_cells: probing every cell makes
     the index EXACT, so the output equals brute-force top-k and shares
@@ -990,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_chunk_udtf": _q54_chunk_udtf,
         "q55_winnow_fingerprints": _q55_winnow_fingerprints,
         "q58_ivf_topk": _q58_ivf_topk,
+        "q59_dedup_clusters": _q59_dedup_clusters,
         # -- streaming (checkpointed runs; staged events dir is shared) --
         "q24_stream_tumbling": _q24_stream_tumbling,
         "q25_stateful_best": _q25_stateful_best,
@@ -1706,6 +1726,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_hex_byte_sql('h', 0)} AS BIGINT) AS f0,
                    CAST({_hex_byte_sql('h', 7)} AS BIGINT) AS f7
             FROM hx
+        """,
+        # q59: connected components of the q45 pair set — transitive
+        # closure as a recursive CTE (min reachable label per node)
+        "q59_dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            bnd AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
+            sig AS (SELECT doc_id, band,
+                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                    FROM bnd GROUP BY doc_id, band),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                                          AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                                  JOIN sh sb ON sb.doc_id = c.id_b
+                                            AND sb.shingle = sa.shingle
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes x ON id_a = x.doc_id
+                                 JOIN sizes y ON id_b = y.doc_id
+                      WHERE round(1.0 * i / (x.n + y.n - i), 4) >= 0.5),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(node, lbl) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.src, r.lbl FROM e JOIN reach r ON r.node = e.dst
+            )
+            SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
         """,
         # q28: the real detect pandas UDF, replayed in SQL (see
         # _detect_docs_sql docstring for why this is exact)

@@ -509,3 +509,41 @@ def test_dedup_queries_leave_no_cached_storage(spark):
     near_dup_pairs(docs, threshold=0.3).collect()
     leaked = persistent_ids() - before
     assert not leaked, f"dedup operators leaked persistent RDDs: {leaked}"
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Transitive closure over pairs: chains, cycles, and isolated pairs
+    resolve to min-id components; pointer jumping converges on a chain
+    far longer than the round budget would allow without doubling."""
+    from watermark_detector_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keepers,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),          # chain
+             (10, 11),                                 # isolated pair
+             (20, 21), (21, 22), (20, 22),             # triangle
+             (30, 31), (31, 32), (30, 32), (32, 33)]   # triangle + tail
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["node"]: r["cluster_id"]
+           for r in dedup_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20,
+                   30: 30, 31: 30, 32: 30, 33: 30}
+
+    # 64-node chain: plain min-label propagation needs 63 rounds; the
+    # pointer-jumping variant must converge inside the 25-round budget
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 164)], "id_a long, id_b long")
+    cl = dedup_clusters(chain).collect()
+    assert all(r["cluster_id"] == 100 for r in cl) and len(cl) == 65
+
+    keep = {r["node"]: (r["keeper_id"], r["is_duplicate"])
+            for r in dedup_keepers(df).collect()}
+    assert keep[1] == (1, False) and keep[5] == (1, True)
+    assert keep[10] == (10, False) and keep[11] == (10, True)
+
+    # empty pair set -> empty clustering (no crash)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).count() == 0

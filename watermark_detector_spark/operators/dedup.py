@@ -244,3 +244,76 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         for i in range(n_bits)
     ]
     return agg.select(id_col, F.concat(*bit_chars).alias("simhash"))
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (node, cluster_id),
+    cluster_id = min doc id in the component. This is the missing third
+    stage of production dedup: candidate PAIRS (LSH) → exact scores →
+    CLUSTERS → keeper per cluster; transitive closure matters because
+    near-dup is not transitive (A~B, B~C does not imply A~C scores
+    above threshold, yet all three are one dup group).
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    every node takes the min label over {self} ∪ neighbors, then
+    short-circuits to its label's label (path halving). Convergence in
+    O(log(diameter)) rounds instead of O(diameter) — the property that
+    makes iterative CC viable on web-scale graphs (the same doubling
+    idea as Kiveris et al.'s large-star/small-star). Each round is two
+    keyed shuffles; lineage is truncated per round (localCheckpoint),
+    without which the plan tree grows exponentially — THE classic
+    iterative-DataFrame trap. Driver-side work is one changed-row count
+    per round (a scalar), never the graph.
+
+    Raises after ``max_iters`` non-converged rounds (25 covers a
+    diameter of ~2^25 via doubling) rather than returning wrong labels.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(edges.src.alias("node"), "lbl")
+        )
+        prop = (
+            labels.unionByName(nbr)
+            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jumping: follow lbl -> lbl(lbl) (labels are node ids,
+        # so the lookup is a self-join; misses mean lbl is already a root)
+        hop = prop.select(F.col("node").alias("_n2"), F.col("lbl").alias("_l2"))
+        new = (
+            prop.join(hop, prop.lbl == hop._n2, "left")
+            .select("node", F.coalesce("_l2", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "_old"), "node")
+            .where(F.col("lbl") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iters} rounds "
+        "(pathological graph or max_iters too small)"
+    )
+
+
+def dedup_keepers(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Cluster → keeper selection: every clustered doc labeled with the
+    cluster keeper (min id); docs to DROP are rows where node !=
+    keeper_id. Composes dedup_clusters — the exact shape a corpus-dedup
+    job applies as an anti-join against the full table."""
+    return dedup_clusters(pairs, id_a, id_b).select(
+        "node", F.col("cluster_id").alias("keeper_id"),
+        (F.col("node") != F.col("cluster_id")).alias("is_duplicate"),
+    )
