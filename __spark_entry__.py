@@ -914,6 +914,32 @@ def _q56_stream_static_join(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q60_stream_anti_join(spark, sf: str) -> DataFrame:
+    """Stream-static LEFT ANTI join — the streaming-curation 'drop
+    already-seen keys' shape (e.g. new documents vs a historical keeper
+    fingerprint table). Static side: heavy users (>= 30 prior events);
+    stream side keeps only events from OTHER users, then aggregates.
+    Single availableNow batch ⇒ the batch anti join is the exact
+    oracle."""
+    src, _ = _events_stream(spark, sf)
+    heavy = (
+        _t(spark, sf, "events").groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 30)
+        .select("user_id")
+    )
+    kept = src.join(F.broadcast(heavy), "user_id", "left_anti")
+    # NB: exact count(DISTINCT) is unsupported in streaming aggs — stick
+    # to decomposable aggregates so the oracle can be value-exact
+    agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    name = "wmd_q60_" + uuid.uuid4().hex[:8]
+    _run_to_memory(agg, name, "complete")
+    return spark.table(name)
+
+
 def _q57_grouping_sets(spark, sf: str) -> DataFrame:
     """Arbitrary GROUPING SETS (not derivable from cube/rollup): totals
     by (returnflag), by (linestatus), and the grand total — one pass."""
@@ -1018,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_stream_stream_join": _q49_stream_stream_join,
         "q50_stream_session_window": _q50_stream_session_window,
         "q56_stream_static_join": _q56_stream_static_join,
+        "q60_stream_anti_join": _q60_stream_anti_join,
     }
 
 
@@ -1726,6 +1753,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_hex_byte_sql('h', 0)} AS BIGINT) AS f0,
                    CAST({_hex_byte_sql('h', 7)} AS BIGINT) AS f7
             FROM hx
+        """,
+        # q60: stream-static LEFT ANTI (single availableNow batch ⇒
+        # the batch anti join is exact)
+        "q60_stream_anti_join": """
+            WITH heavy AS (
+              SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 30
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.user_id = e.user_id)
+            GROUP BY event_type
         """,
         # q59: connected components of the q45 pair set — transitive
         # closure as a recursive CTE (min reachable label per node)

@@ -133,9 +133,10 @@ def _sig_regex(sig: Signature) -> str:
 
 
 # Measured crossover (~350-word docs): probe scales linearly in n_sigs
-# (45 us/doc @25 → 6,640 @5k); token scan is flat (~120-185 us/doc at any
-# count). They cross at ~100-130 signatures.
-_TOKEN_SCAN_THRESHOLD = 128
+# (45 us/doc @25 → 148 @100 → 6,640 @5k); token scan is flat
+# (~120-130 us/doc at any count). Re-measured round 3: they cross at
+# ~80-90 signatures (probe slope ~1.4 us/sig on this corpus shape).
+_TOKEN_SCAN_THRESHOLD = 80
 _TOKEN_RE_SCAN = re.compile(r"\S+")
 
 
