@@ -605,8 +605,17 @@ def _run_to_memory(stream_df, name: str, output_mode: str) -> None:
         )
         q.awaitTermination()
     finally:
+        # conf.get(key, None) returns None when the key was never set
+        # explicitly (it does NOT surface the SQLConf default) — restore
+        # by unsetting in that case, or a vanilla session would stay
+        # pinned to 8 partitions for every later batch query
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            try:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            except Exception:
+                pass
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -705,9 +714,10 @@ def _q27_multimodal_features(spark, sf: str) -> DataFrame:
 
 def _q28_detect_udf_docs(spark, sf: str) -> DataFrame:
     """The real pandas-UDF detector over documents (vocabulary
-    signatures) — per-source kept-detection counts. No SQL oracle (UDF
-    internals); rows-only check; pytest validates the UDF against
-    construction goldens on the pages fixtures."""
+    signatures) — per-source kept-detection counts. Oracle-checked
+    since round 3: ``_detect_docs_sql`` replays the scan/merge/score
+    semantics exactly in DuckDB; pytest additionally validates the UDF
+    against construction goldens on the pages fixtures."""
     docs = _t(spark, sf, "documents")
     detect = make_detect_udf(_ENTRY_SIGS)
     det = docs.select("source", F.explode(detect(F.col("text"))).alias("d"))

@@ -25,18 +25,20 @@ def main() -> None:
     ap.add_argument("--sink", required=True)
     ap.add_argument("--output-partitions", type=int, default=8)
     ap.add_argument("--no-vacuum", action="store_true")
+    ap.add_argument("--retention-s", type=float, default=300.0,
+                    help="concurrent-reader grace window before GC")
     args = ap.parse_args()
 
     from watermark_detector_spark.session import get_spark
     from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
 
     spark = get_spark(app_name="wmd-compact")
-    sink = ExactlyOnceParquetSink(args.sink)
-    entry = sink.compact(spark, output_partitions=args.output_partitions,
-                         vacuum=not args.no_vacuum)
+    sink = ExactlyOnceParquetSink(args.sink, vacuum_retention_s=args.retention_s)
+    entries = sink.compact(spark, output_partitions=args.output_partitions,
+                           vacuum=not args.no_vacuum)
     print(json.dumps({
         "sink": args.sink,
-        "compacted": entry,
+        "compacted_ranges": entries,
         "committed_batches": len(sink.committed_batches()),
         "manifest_files": sum(m["n_files"] for m in sink.manifest()),
     }))

@@ -71,8 +71,15 @@ def stage_time_ordered_stream(spark, cfg, n_files: int, root: str) -> str:
 
 
 def _pctl(xs: list[float], q: float) -> float:
+    """Nearest-rank percentile: ceil(q·n)-th smallest (the int(q*n)
+    upper-index variant overstates — p50 of [100,200] must be 100-ish,
+    not the element above the median)."""
+    import math
+
     xs = sorted(xs)
-    return xs[min(len(xs) - 1, int(q * len(xs)))] if xs else 0.0
+    if not xs:
+        return 0.0
+    return xs[max(0, math.ceil(q * len(xs)) - 1)]
 
 
 def run_phase(spark, name: str, stream_df_fn, ckpt: str, output_mode: str):

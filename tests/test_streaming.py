@@ -395,22 +395,24 @@ def test_streaming_state_is_bounded_over_many_batches(spark, tmp_path_factory):
 
 def test_sink_compaction_preserves_exactly_once(spark, tmp_path_factory):
     """Small-file compaction (Iceberg snapshot-rewrite analog): folding
-    per-batch commits into one range manifest must change NOTHING a
-    reader or a replayed writer can observe — same rows, same committed
-    ledger, replays of covered batches still no-ops — while slashing
-    file count. Every crash window of the protocol is simulated."""
+    per-batch commits into range manifests must change NOTHING a reader
+    or a replayed writer can observe — same rows, same committed ledger,
+    replays of covered batches still no-ops — while slashing file count.
+    Every crash window and the retention GC are exercised."""
     from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
 
     root = str(tmp_path_factory.mktemp("sink_compact"))
-    sink = ExactlyOnceParquetSink(root, output_partitions=4)
+    sink = ExactlyOnceParquetSink(root, output_partitions=4,
+                                  vacuum_retention_s=0)  # immediate GC (tests)
     for b in range(6):
         sink.write_batch(
             spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "v"), b)
     before = sorted(r["v"] for r in sink.read(spark).collect())
     n_files_before = sum(m["n_files"] for m in sink.manifest())
 
-    entry = sink.compact(spark, output_partitions=2)
-    assert entry["lo"] == 0 and entry["hi"] == 5 and entry["n_rows"] == 60
+    entries = sink.compact(spark, output_partitions=2)
+    assert [e["lo"] for e in entries] == [0] and entries[0]["hi"] == 5
+    assert entries[0]["n_rows"] == 60
     assert sink.committed_batches() == list(range(6))
     assert sorted(r["v"] for r in sink.read(spark).collect()) == before
     assert sum(m["n_files"] for m in sink.manifest()) == 2 < n_files_before
@@ -425,7 +427,8 @@ def test_sink_compaction_preserves_exactly_once(spark, tmp_path_factory):
     # crash window 1: compacted data written, range manifest NOT yet
     # published -> readers still see per-batch truth; rerun completes
     sink2root = str(tmp_path_factory.mktemp("sink_compact2"))
-    sink2 = ExactlyOnceParquetSink(sink2root, output_partitions=4)
+    sink2 = ExactlyOnceParquetSink(sink2root, output_partitions=4,
+                                   vacuum_retention_s=0)
     for b in range(3):
         sink2.write_batch(
             spark.range(b * 5, b * 5 + 5).withColumnRenamed("id", "v"), b)
@@ -434,19 +437,43 @@ def test_sink_compaction_preserves_exactly_once(spark, tmp_path_factory):
     # simulate crash BEFORE publish by deleting only the range manifest:
     os.remove(os.path.join(sink2root, "_manifest", "compact_0-2.json"))
     assert sorted(r["v"] for r in sink2.read(spark).collect()) == want2
-    sink2.compact(spark)  # replay: re-publishes and vacuums
+    # the unpublished compact_0-2 data dir is an orphan; a later vacuum
+    # with retention=0 sweeps it, and the retried compact re-creates it
+    assert sink2.vacuum() == 1  # the orphan dir
+    assert sink2.compact(spark)  # replay: re-publishes and vacuums
     assert sorted(r["v"] for r in sink2.read(spark).collect()) == want2
     assert sink2.vacuum() == 0  # idempotent, nothing left to sweep
 
     # crash window 2: range manifest published, vacuum died mid-sweep ->
-    # shadowed per-batch entries must NOT double-read
+    # shadowed per-batch entries must NOT double-read; retention guards
+    # concurrent readers (nothing swept until the window passes)
     sink3root = str(tmp_path_factory.mktemp("sink_compact3"))
-    sink3 = ExactlyOnceParquetSink(sink3root, output_partitions=4)
+    sink3 = ExactlyOnceParquetSink(sink3root, output_partitions=4,
+                                   vacuum_retention_s=0)
     for b in range(3):
         sink3.write_batch(
             spark.range(b * 5, b * 5 + 5).withColumnRenamed("id", "v"), b)
     want3 = sorted(r["v"] for r in sink3.read(spark).collect())
     sink3.compact(spark, vacuum=False)  # published, old manifests remain
     assert sorted(r["v"] for r in sink3.read(spark).collect()) == want3
+    # a long retention window defers the sweep entirely (reader grace)
+    assert sink3.vacuum(retention_s=3600) == 0
     assert sink3.vacuum() == 3
     assert sorted(r["v"] for r in sink3.read(spark).collect()) == want3
+
+    # gaps: each contiguous run folds into its OWN range; the gap id is
+    # never claimed committed
+    sink4root = str(tmp_path_factory.mktemp("sink_compact4"))
+    sink4 = ExactlyOnceParquetSink(sink4root, output_partitions=2,
+                                   vacuum_retention_s=0)
+    for b in [0, 1, 2, 5, 6]:  # 3-4 missing (uncommitted)
+        sink4.write_batch(
+            spark.range(b * 5, b * 5 + 5).withColumnRenamed("id", "v"), b)
+    want4 = sorted(r["v"] for r in sink4.read(spark).collect())
+    entries4 = sink4.compact(spark)
+    assert [(e["lo"], e["hi"]) for e in entries4] == [(0, 2), (5, 6)]
+    assert sink4.committed_batches() == [0, 1, 2, 5, 6]
+    assert sorted(r["v"] for r in sink4.read(spark).collect()) == want4
+    # batch 3 is NOT covered: a (late) replay of it must still commit
+    sink4.write_batch(spark.range(15, 20).withColumnRenamed("id", "v"), 3)
+    assert sink4.committed_batches() == [0, 1, 2, 3, 5, 6]

@@ -23,8 +23,12 @@ Protocol (Iceberg-style snapshot log, no Iceberg jar needed):
    (a) compacted data lands (orphan until published), (b) the range
    manifest publishes atomically — from here readers PREFER the range
    and ignore covered per-batch entries — then (c) covered per-batch
-   manifests and data dirs are vacuumed (pure GC; a crash mid-vacuum
-   leaves shadowed entries that the next vacuum sweeps).
+   manifests and data dirs are vacuumed after a RETENTION WINDOW
+   (default 300 s, Iceberg-orphan-file style) protecting readers that
+   resolved their file listing just before the publish; within the
+   sweep, data is deleted before its manifest so a crash mid-vacuum
+   leaves a shadowed manifest the next vacuum revisits, never an
+   unreachable data dir.
 
 ALL manifest/listing IO goes through the Hadoop FileSystem API resolved
 from the root URI (``_HadoopFS``), so the same protocol runs unchanged
@@ -92,6 +96,10 @@ class _HadoopFS:
     def delete(self, p: str, recursive: bool = False) -> None:
         self._fs.delete(self._Path(p), recursive)
 
+    def mtime(self, p: str) -> float:
+        """Modification time (epoch seconds) — retention-window clock."""
+        return self._fs.getFileStatus(self._Path(p)).getModificationTime() / 1000.0
+
     def parquet_rows(self, p: str) -> int:
         """Row count from the parquet footer via the Hadoop input file —
         no extra Spark job per batch, works on any FS scheme."""
@@ -139,6 +147,9 @@ class _LocalFS:
         elif os.path.exists(p):
             os.remove(p)
 
+    def mtime(self, p: str) -> float:
+        return os.path.getmtime(p)
+
     def parquet_rows(self, p: str) -> int:
         import pyarrow.parquet as pq
 
@@ -146,14 +157,17 @@ class _LocalFS:
 
 
 class ExactlyOnceParquetSink:
-    def __init__(self, root: str, output_partitions: int | None = 8):
+    def __init__(self, root: str, output_partitions: int | None = 8,
+                 vacuum_retention_s: float = 300.0):
         # window-agg output per batch is small relative to input; coalesce
         # to a few files so the per-batch commit cost stays flat
         self.output_partitions = output_partitions
+        self.vacuum_retention_s = vacuum_retention_s
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifest")
         self._fs_cache = None
+        self._ranges_cache: list[dict] | None = None
 
     @property
     def fs(self):
@@ -193,8 +207,16 @@ class ExactlyOnceParquetSink:
         )
 
     def _is_covered(self, batch_id: int) -> bool:
-        ranges, _ = self._manifest_state()
-        return any(r["lo"] <= batch_id <= r["hi"] for r in ranges)
+        """Covered-by-range check against a CACHED range list (refreshed
+        only when this instance compacts, or on first use): ranges change
+        rarely and only grow, and staleness is harmless by construction —
+        a stale miss merely re-writes a shadowed per-batch entry, which
+        readers ignore and the next vacuum sweeps. The cache keeps the
+        per-commit hot path O(1) instead of a manifest-dir listing per
+        micro-batch (an S3 LIST storm on object stores)."""
+        if self._ranges_cache is None:
+            self._ranges_cache = self._manifest_state()[0]
+        return any(r["lo"] <= batch_id <= r["hi"] for r in self._ranges_cache)
 
     # -- write side (foreachBatch) ----------------------------------------
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
@@ -261,68 +283,101 @@ class ExactlyOnceParquetSink:
 
     # -- maintenance: small-file compaction (snapshot rewrite) -------------
     def compact(self, spark: SparkSession, output_partitions: int | None = None,
-                vacuum: bool = True) -> dict | None:
-        """Fold every currently-uncovered per-batch commit into ONE
-        range manifest over rewritten data files. Crash-safe by
-        ordering (see module docstring): data → atomic range-manifest
-        publish → vacuum (GC only). Returns the new range entry, or
-        None if there is nothing to fold (< 2 loose batches).
+                vacuum: bool = True) -> list[dict]:
+        """Fold every currently-uncovered CONTIGUOUS run of per-batch
+        commits (>= 2 batches) into a range manifest over rewritten data
+        files — one manifest per run, so gaps in the id sequence (a
+        range must never assert an uncommitted id) don't freeze the runs
+        behind them. Crash-safe by ordering (see module docstring):
+        data → atomic range-manifest publish → vacuum (retention-gated
+        GC). Returns the published range entries ([] if nothing to
+        fold).
 
         At 10^12-doc scale this runs as a periodic maintenance job next
-        to the stream (exactly how Iceberg's rewrite_data_files compains
-        a streaming table); readers never block and never double-read."""
+        to the stream (exactly how Iceberg's rewrite_data_files compacts
+        a streaming table); readers never block and never double-read —
+        the retention window in vacuum() is what keeps in-flight readers
+        safe (see there)."""
         fs = self.fs
-        ranges, singles = self._manifest_state()
-        # fold only a CONTIGUOUS run: a range manifest asserts every id
-        # inside it is committed, so a gap (possible after a partial
-        # replay) must never be papered over
-        run = []
+        _, singles = self._manifest_state()
+        runs: list[list[int]] = []
         for b in singles:
-            if run and b != run[-1] + 1:
-                break
-            run.append(b)
-        if len(run) < 2:
-            return None
-        lo, hi = run[0], run[-1]
-        # rewrite the loose batches' rows into one compacted dir
-        src = [os.path.join(self.data_dir, f"batch_id={b}") for b in run]
-        out = os.path.join(self.data_dir, f"compact_{lo}-{hi}")
-        df = spark.read.parquet(*src)
-        df.coalesce(output_partitions or self.output_partitions or 8) \
-            .write.mode("overwrite").parquet(out)
-        files = sorted(f for f in fs.listdir(out) if f.endswith(".parquet"))
-        n_rows = sum(fs.parquet_rows(os.path.join(out, f)) for f in files)
-        entry = {
-            "lo": lo, "hi": hi, "batch_ids": run, "n_rows": n_rows,
-            "n_files": len(files), "files": files,
-            "committed_at_epoch": time.time(),
-        }
-        # atomic publish: from this instant readers take the range and
-        # ignore the (still-present) covered per-batch manifests
-        fs.write_atomic(
-            os.path.join(self.manifest_dir, f"compact_{lo}-{hi}.json"),
-            json.dumps(entry),
-        )
-        if vacuum:
+            if runs and b == runs[-1][-1] + 1:
+                runs[-1].append(b)
+            else:
+                runs.append([b])
+        entries = []
+        for run in runs:
+            if len(run) < 2:
+                continue
+            lo, hi = run[0], run[-1]
+            # rewrite the run's rows into one compacted dir
+            src = [os.path.join(self.data_dir, f"batch_id={b}") for b in run]
+            out = os.path.join(self.data_dir, f"compact_{lo}-{hi}")
+            df = spark.read.parquet(*src)
+            df.coalesce(output_partitions or self.output_partitions or 8) \
+                .write.mode("overwrite").parquet(out)
+            files = sorted(f for f in fs.listdir(out) if f.endswith(".parquet"))
+            n_rows = sum(fs.parquet_rows(os.path.join(out, f)) for f in files)
+            entry = {
+                "lo": lo, "hi": hi, "batch_ids": run, "n_rows": n_rows,
+                "n_files": len(files), "files": files,
+                "committed_at_epoch": time.time(),
+            }
+            # atomic publish: from this instant readers take the range and
+            # ignore the (still-present) covered per-batch manifests
+            fs.write_atomic(
+                os.path.join(self.manifest_dir, f"compact_{lo}-{hi}.json"),
+                json.dumps(entry),
+            )
+            entries.append(entry)
+        self._ranges_cache = None  # ranges changed — refresh on next commit
+        if vacuum and entries:
             self.vacuum()
-        return entry
+        return entries
 
-    def vacuum(self) -> int:
-        """GC per-batch manifests + data dirs shadowed by a published
-        range. Idempotent and crash-safe — everything it removes is
-        already invisible to readers."""
+    def vacuum(self, retention_s: float | None = None) -> int:
+        """GC (a) per-batch manifests + data dirs shadowed by a published
+        range and (b) orphaned compact_* data dirs no manifest references
+        (a compact() that died before publishing, then re-folded a wider
+        run on retry). Everything swept is already invisible to the
+        manifest-driven read path.
+
+        ``retention_s`` (default: the sink's ``vacuum_retention_s``,
+        300 s) is the concurrent-reader grace window — the same idea as
+        Iceberg's orphan-file retention: a reader that resolved its file
+        listing JUST BEFORE a range published may still be scanning the
+        covered per-batch dirs, and a compactor may be about to publish
+        the manifest for a just-written compact_* dir; both are safe as
+        long as the sweep only touches entries older than any plausible
+        in-flight operation. Pass 0 for immediate sweep (tests,
+        decommission). Crash-safety: data dir is deleted BEFORE its
+        manifest, so a crash mid-sweep leaves a shadowed manifest that
+        the next vacuum revisits — never an unreachable data dir."""
         fs = self.fs
+        if retention_s is None:
+            retention_s = self.vacuum_retention_s
+        now = time.time()
         ranges, _ = self._manifest_state()
-        covered = set()
+        covered_old = set()
         for r in ranges:
-            covered.update(range(r["lo"], r["hi"] + 1))
+            if now - fs.mtime(os.path.join(self.manifest_dir, r["file"])) >= retention_s:
+                covered_old.update(range(r["lo"], r["hi"] + 1))
+        live_ranges = {f"compact_{r['lo']}-{r['hi']}" for r in ranges}
         swept = 0
         for f in fs.listdir(self.manifest_dir):
             if f.endswith(".json") and not f.startswith("compact_"):
                 b = int(f[:-5])
-                if b in covered:
-                    fs.delete(os.path.join(self.manifest_dir, f))
+                if b in covered_old:
+                    # data FIRST, then manifest: the manifest is the
+                    # re-visit marker for a crash between the two deletes
                     fs.delete(os.path.join(self.data_dir, f"batch_id={b}"),
                               recursive=True)
+                    fs.delete(os.path.join(self.manifest_dir, f))
                     swept += 1
+        for d in fs.listdir(self.data_dir):
+            if (d.startswith("compact_") and d not in live_ranges
+                    and now - fs.mtime(os.path.join(self.data_dir, d)) >= retention_s):
+                fs.delete(os.path.join(self.data_dir, d), recursive=True)
+                swept += 1
         return swept
