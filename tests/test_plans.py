@@ -140,3 +140,23 @@ def test_similarity_dedup_plans_never_cartesian(spark):
     assert ("hashpartitioning(_table" in lsh_plan
             or "BroadcastHashJoin [_table" in lsh_plan
             or "BroadcastHashJoin" in lsh_plan), lsh_plan
+
+
+def test_dedup_clusters_plan_is_keyed_joins_only(spark):
+    """Connected components: every round is keyed equi-joins + a keyed
+    agg — no cartesian/nested-loop anywhere, and lineage truncation
+    keeps the final plan CONSTANT-size (a localCheckpoint scan) instead
+    of growing with iteration count."""
+    from watermark_detector_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)],
+        "id_a long, id_b long")
+    out = dedup_clusters(pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the returned frame reads the checkpointed final labels — its plan
+    # must NOT embed the whole iterative join tree
+    assert "ExistingRDD" in plan or "Scan" in plan
+    assert plan.count("Join") <= 1, plan
