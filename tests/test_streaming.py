@@ -477,3 +477,58 @@ def test_sink_compaction_preserves_exactly_once(spark, tmp_path_factory):
     # batch 3 is NOT covered: a (late) replay of it must still commit
     sink4.write_batch(spark.range(15, 20).withColumnRenamed("id", "v"), 3)
     assert sink4.committed_batches() == [0, 1, 2, 3, 5, 6]
+
+
+def test_compaction_interleaved_with_stream_restart(spark, fixture_cfg,
+                                                    fixture_paths,
+                                                    tmp_path_factory):
+    """The realistic ops sequence: stream half the input -> compact the
+    sink while the stream is down -> rest of the input arrives ->
+    RESTART from the same checkpoint. The restart replays its last
+    in-flight batch against a sink whose early batches are now a range
+    manifest; content must equal the uninterrupted run, with zero
+    duplicates."""
+    root = tmp_path_factory.mktemp("compact_restart")
+    part_dir = root / "stream_partial"
+    part_dir.mkdir()
+    files = sorted(os.listdir(fixture_paths["pages_stream"]))
+    half = files[: len(files) // 2]
+    for i, f in enumerate(files):
+        if f in half:
+            dst = str(part_dir / f)
+            shutil.copy2(os.path.join(fixture_paths["pages_stream"], f), dst)
+            os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink_root, ckpt = str(root / "sink"), str(root / "ckpt")
+    sink1 = run_flagship_stream(spark, str(part_dir), fixture_cfg.signatures,
+                                sink_root, ckpt)
+    phase1 = sink1.committed_batches()
+    assert len(phase1) >= 2
+
+    # maintenance while the stream is down (as a separate process would:
+    # fresh sink instance, immediate retention for the test)
+    maint = ExactlyOnceParquetSink(sink_root, vacuum_retention_s=0)
+    entries = maint.compact(spark, output_partitions=2)
+    assert entries and entries[0]["lo"] == phase1[0]
+
+    for i, f in enumerate(files):
+        if f not in half:
+            dst = str(part_dir / f)
+            shutil.copy2(os.path.join(fixture_paths["pages_stream"], f), dst)
+            os.utime(dst, (1700000000 + i, 1700000000 + i))
+    sink2 = run_flagship_stream(spark, str(part_dir), fixture_cfg.signatures,
+                                sink_root, ckpt)
+
+    phase2 = sink2.committed_batches()
+    assert phase2[: len(phase1)] == phase1      # ledger intact across compaction
+    assert len(set(phase2)) == len(phase2)      # no duplicates
+
+    # content == uninterrupted reference run into a fresh sink
+    ref_root, ref_ckpt = str(root / "ref_sink"), str(root / "ref_ckpt")
+    ref = run_flagship_stream(spark, fixture_paths["pages_stream"],
+                              fixture_cfg.signatures, ref_root, ref_ckpt)
+    got = _norm_stream(sink2.read(spark).toPandas())
+    want = _norm_stream(ref.read(spark).toPandas())
+    pd.testing.assert_frame_equal(got, want)
