@@ -950,6 +950,32 @@ def _q60_stream_anti_join(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q61_chained_stream_aggs(spark, sf: str) -> DataFrame:
+    """CHAINED stateful aggregations in ONE streaming query (Spark 3.4+
+    multi-stateful-operator support): 5-minute tumbling counts per type,
+    re-aggregated into hourly max + window count downstream, both under
+    the same event-time watermark. Oracle: replay both levels in batch
+    SQL; emission = hour windows whose end <= final watermark (all their
+    inner windows are then finalized too)."""
+    src, _ = _events_stream(spark, sf)
+    inner = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w5"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n5"))
+    )
+    outer = (
+        inner.groupBy(F.window(F.col("w5"), "1 hour").alias("wh"), "event_type")
+        .agg(F.max("n5").alias("max_n5"), F.count(F.lit(1)).alias("n_windows"))
+        .select(
+            F.date_format("wh.start", _TS_FMT_SPARK).alias("hour_start"),
+            "event_type", "max_n5", "n_windows",
+        )
+    )
+    name = "wmd_q61_" + uuid.uuid4().hex[:8]
+    _run_to_memory(outer, name, "append")
+    return spark.table(name)
+
+
 def _q57_grouping_sets(spark, sf: str) -> DataFrame:
     """Arbitrary GROUPING SETS (not derivable from cube/rollup): totals
     by (returnflag), by (linestatus), and the grand total — one pass."""
@@ -1055,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_stream_session_window": _q50_stream_session_window,
         "q56_stream_static_join": _q56_stream_static_join,
         "q60_stream_anti_join": _q60_stream_anti_join,
+        "q61_chained_stream_aggs": _q61_chained_stream_aggs,
     }
 
 
@@ -1776,6 +1803,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.user_id = e.user_id)
             GROUP BY event_type
+        """,
+        # q61: chained stateful aggs — both levels replayed in batch;
+        # emission rule: hour window end <= final watermark (which also
+        # finalizes every inner 5-min window it contains)
+        "q61_chained_stream_aggs": f"""
+            WITH wmv AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+            w5 AS (SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w5s, event_type,
+                          count(*) AS n5
+                   FROM events GROUP BY 1, 2),
+            fin AS (SELECT * FROM w5, wmv WHERE w5s + INTERVAL 5 MINUTE <= wm),
+            wh AS (SELECT time_bucket(INTERVAL 1 HOUR, w5s) AS hs, event_type,
+                          CAST(max(n5) AS BIGINT) AS max_n5,
+                          CAST(count(*) AS BIGINT) AS n_windows,
+                          any_value(wm) AS wm
+                   FROM fin GROUP BY 1, 2)
+            SELECT strftime(hs, '{_TS_FMT_DUCK}') AS hour_start, event_type,
+                   max_n5, n_windows
+            FROM wh WHERE hs + INTERVAL 1 HOUR <= wm
         """,
         # q59: connected components of the q45 pair set — transitive
         # closure as a recursive CTE (min reachable label per node)
