@@ -950,6 +950,39 @@ def _q60_stream_anti_join(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q62_stream_stream_left_outer(spark, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: unmatched errors emit a
+    NULL-padded row once the watermark proves no future click can match.
+    Emission rule (empirically pinned): the GLOBAL watermark is the MIN
+    over both streams' column watermarks (min(max err_ts, max click_ts)
+    - 30min), and an unmatched error null-emits iff err_ts < wm — the
+    binding future-match constraint is click_ts <= err_ts, so err_ts
+    past the watermark can never match a future click."""
+    src, _ = _events_stream(spark, sf)
+    errors = (
+        src.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"),
+                F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "30 minutes")
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("click_user"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("err_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "left_outer",
+    ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
+    name = "wmd_q62_" + uuid.uuid4().hex[:8]
+    _run_to_memory(joined, name, "append")
+    return spark.table(name)
+
+
 def _q61_chained_stream_aggs(spark, sf: str) -> DataFrame:
     """CHAINED stateful aggregations in ONE streaming query (Spark 3.4+
     multi-stateful-operator support): 5-minute tumbling counts per type,
@@ -1082,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_stream_static_join": _q56_stream_static_join,
         "q60_stream_anti_join": _q60_stream_anti_join,
         "q61_chained_stream_aggs": _q61_chained_stream_aggs,
+        "q62_stream_stream_left_outer": _q62_stream_stream_left_outer,
     }
 
 
@@ -1803,6 +1837,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.user_id = e.user_id)
             GROUP BY event_type
+        """,
+        # q62: stream-stream LEFT OUTER interval join — matches emit as
+        # they arrive; unmatched errors null-emit iff err_ts < global
+        # watermark (min over BOTH column watermarks; see query docstring)
+        "q62_stream_stream_left_outer": """
+            WITH wmv AS (
+              SELECT least(
+                       (SELECT max(ts) FROM events WHERE event_type = 'error'),
+                       (SELECT max(ts) FROM events WHERE event_type = 'click')
+                     ) - INTERVAL 30 MINUTE AS wm),
+            e AS (SELECT event_id AS err_id, user_id AS err_user, ts AS err_ts
+                  FROM events WHERE event_type = 'error'),
+            c AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+                  FROM events WHERE event_type = 'click'),
+            m AS (SELECT e.err_id, c.click_id, e.err_user AS user_id
+                  FROM e JOIN c ON e.err_user = c.click_user
+                   AND c.click_ts >= e.err_ts - INTERVAL 30 MINUTE
+                   AND c.click_ts <= e.err_ts)
+            SELECT err_id, click_id, user_id FROM m
+            UNION ALL
+            SELECT e.err_id, CAST(NULL AS BIGINT) AS click_id,
+                   e.err_user AS user_id
+            FROM e, wmv
+            WHERE e.err_id NOT IN (SELECT err_id FROM m) AND e.err_ts < wm
         """,
         # q61: chained stateful aggs — both levels replayed in batch;
         # emission rule: hour window end <= final watermark (which also
