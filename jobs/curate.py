@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus curation job — the composition a
+100 TB data pipeline actually ships, built entirely from the engine's
+operators:
+
+  1. score      language-ID, quality, token counts   (codegen exprs)
+  2. gate       lang == --lang, quality >= --min-quality,
+                token count in [--min-tokens, --max-tokens]
+  3. exact dedup  md5 fingerprint keeper per group    (short-key shuffle)
+  4. near dedup   MinHash-LSH candidates → Jaccard on candidates →
+                  connected components → keeper anti-join
+  5. write      curated parquet + one JSON line of funnel stats
+
+Every stage is a DataFrame transform; the only shuffles are the
+fingerprint key, the (band, minhash) key, the candidate equi-joins and
+the cluster rounds — nothing quadratic, nothing collected.
+
+Usage:
+  spark-submit --py-files dist/watermark_detector_spark.zip \
+    jobs/curate.py --docs <documents.parquet> --out <dir> \
+    [--lang en] [--min-quality 0.5] [--min-tokens 20] [--max-tokens 5000] \
+    [--jaccard 0.5] [--keep-singletons]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
+           min_tokens: int = 20, max_tokens: int = 5000,
+           jaccard: float = 0.5):
+    """(curated DataFrame, funnel stats dict). Deterministic keeper
+    rule at every stage: min doc_id survives."""
+    from watermark_detector_spark.functions.text import (
+        fingerprint,
+        lang_guess,
+        quality_score,
+        token_count,
+    )
+    from watermark_detector_spark.operators.dedup import (
+        dedup_keepers,
+        near_dup_pairs,
+    )
+
+    stats = {"input": docs.count()}
+
+    scored = docs.select(
+        "*",
+        lang_guess(F.col("text")).alias("_lang"),
+        quality_score(F.col("text")).alias("_quality"),
+        token_count(F.col("text")).alias("_n_tokens"),
+    )
+    gated = scored.where(
+        (F.col("_lang") == lang)
+        & (F.col("_quality") >= min_quality)
+        & F.col("_n_tokens").between(min_tokens, max_tokens)
+    )
+    stats["after_gate"] = gated.count()
+
+    # exact dedup: one shuffle on the md5 key, min doc_id survives
+    keyed = gated.withColumn("_fp", fingerprint(F.col("text")))
+    keepers = keyed.groupBy("_fp").agg(F.min("doc_id").alias("_keeper"))
+    exact = (
+        keyed.join(keepers, "_fp")
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .drop("_fp", "_keeper")
+    )
+    stats["after_exact_dedup"] = exact.count()
+
+    # near dedup: LSH → Jaccard-on-candidates → components → drop non-keepers
+    pairs = near_dup_pairs(exact, threshold=jaccard)
+    dups = dedup_keepers(pairs).where(F.col("is_duplicate")) \
+        .select(F.col("node").alias("doc_id"))
+    curated = exact.join(dups, "doc_id", "left_anti") \
+        .drop("_lang", "_quality", "_n_tokens")
+    stats["after_near_dedup"] = curated.count()
+    stats["dropped_total"] = stats["input"] - stats["after_near_dedup"]
+    return curated, stats
+
+
+def main() -> None:  # pragma: no cover - CLI wrapper
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--max-tokens", type=int, default=5000)
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from watermark_detector_spark.session import get_spark
+
+    spark = get_spark(app_name="wmd-curate")
+    curated, stats = curate(
+        spark, spark.read.parquet(args.docs), lang=args.lang,
+        min_quality=args.min_quality, min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens, jaccard=args.jaccard,
+    )
+    curated.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, **stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -547,3 +547,33 @@ def test_dedup_clusters_connected_components(spark):
     # empty pair set -> empty clustering (no crash)
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_clusters(empty).count() == 0
+
+
+def test_curate_job_funnel(spark):
+    """End-to-end curation composition (jobs/curate.curate): gates drop
+    what they must, exact dups collapse to min-id keepers, near-dup
+    clusters keep exactly one member, clean docs survive untouched."""
+    from jobs.curate import curate
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs through the green field near the old barn "
+            "while the farmer watches the sky and the clouds drift")
+    rows = [
+        (1, good, "src0"),                                  # keeper
+        (2, good, "src0"),                                  # exact dup of 1
+        (3, good + " slightly changed tail here", "src1"),  # near dup of 1
+        (4, "el perro corre por el campo verde y el sol " * 4, "src1"),  # not en
+        (5, "too short", "src2"),                           # token gate
+        (6, ("the river flows past the village where the miller grinds "
+             "the corn and the children play by the water under the "
+             "bridge while the birds sing in the trees all day"), "src2"),  # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    curated, stats = curate(spark, docs, jaccard=0.5)
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert kept == [1, 6], (kept, stats)
+    assert stats["input"] == 6
+    assert stats["after_gate"] == 4          # 4 (lang) and 5 (tokens) dropped
+    assert stats["after_exact_dedup"] == 3   # 2 collapsed into 1
+    assert stats["after_near_dedup"] == 2    # 3 clustered with 1, dropped
+    assert stats["dropped_total"] == 4
