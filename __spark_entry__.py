@@ -758,6 +758,64 @@ def _q59_dedup_clusters(spark, sf: str) -> DataFrame:
     )
 
 
+def _q63_recursive_cte(spark, sf: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
+    month, left-joined to monthly order counts so EMPTY months appear
+    with n=0 — the gap-filling calendar query a plain GROUP BY cannot
+    express. Same recursive SQL runs in DuckDB."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_q63")
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT date_trunc('month', min(o_orderdate)) FROM orders_q63
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders_q63)
+        ),
+        per_month AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 count(*) AS n, sum(o_totalprice) AS rev
+          FROM orders_q63 GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               CAST(coalesce(per_month.n, 0) AS BIGINT) AS n_orders,
+               round(coalesce(per_month.rev, 0.0), 2) AS revenue
+        FROM months LEFT JOIN per_month ON months.m = per_month.m
+    """)
+
+
+def _q64_variant_json(spark, sf: str) -> DataFrame:
+    """VARIANT (Spark 4.0 semi-structured type): parse_json once, typed
+    variant_get extraction — the modern engine-native path for the JSON
+    props column (q29 is the legacy string-path twin)."""
+    e = _t(spark, sf, "events")
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q65_unpivot(spark, sf: str) -> DataFrame:
+    """UNPIVOT/melt (wide → long): lineitem measures as (measure, value)
+    rows, aggregated per measure — the reshape operator feature tables
+    need before per-feature statistics."""
+    li = _t(spark, sf, "lineitem")
+    long = li.unpivot(
+        "l_orderkey",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "value",
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q58_ivf_topk(spark, sf: str) -> DataFrame:
     """IVF ANN top-k run at nprobe == n_cells: probing every cell makes
     the index EXACT, so the output equals brute-force top-k and shares
@@ -1103,6 +1161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_mad_udaf": _q53_mad_udaf,
         "q54_chunk_udtf": _q54_chunk_udtf,
         "q55_winnow_fingerprints": _q55_winnow_fingerprints,
+        "q63_recursive_cte": _q63_recursive_cte,
+        "q64_variant_json": _q64_variant_json,
+        "q65_unpivot": _q65_unpivot,
         "q58_ivf_topk": _q58_ivf_topk,
         "q59_dedup_clusters": _q59_dedup_clusters,
         # -- streaming (checkpointed runs; staged events dir is shared) --
@@ -1837,6 +1898,51 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.user_id = e.user_id)
             GROUP BY event_type
+        """,
+        # q63: same recursive month-spine SQL, DuckDB dialect (strftime
+        # for the label; month arithmetic is identical)
+        "q63_recursive_cte": """
+            WITH RECURSIVE months(m) AS (
+              SELECT date_trunc('month', min(o_orderdate)) FROM orders
+              UNION ALL
+              SELECT m + INTERVAL 1 MONTH FROM months
+              WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+            ),
+            per_month AS (
+              SELECT date_trunc('month', o_orderdate) AS m,
+                     count(*) AS n, sum(o_totalprice) AS rev
+              FROM orders GROUP BY 1
+            )
+            SELECT strftime(months.m, '%Y-%m') AS month,
+                   CAST(coalesce(per_month.n, 0) AS BIGINT) AS n_orders,
+                   round(coalesce(per_month.rev, 0.0), 2) AS revenue
+            FROM months LEFT JOIN per_month ON months.m = per_month.m
+        """,
+        # q64: VARIANT path replayed with DuckDB's JSON extraction
+        "q64_variant_json": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+                     AS avg_k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        # q65: UNPIVOT replayed as a portable UNION ALL melt
+        "q65_unpivot": """
+            WITH long AS (
+              SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', l_tax FROM lineitem
+            )
+            SELECT measure, round(sum(value), 2) AS total,
+                   round(avg(value), 6) AS mean,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM long GROUP BY measure
         """,
         # q62: stream-stream LEFT OUTER interval join — matches emit as
         # they arrive; unmatched errors null-emit iff err_ts < global
