@@ -19,7 +19,7 @@ Usage:
   spark-submit --py-files dist/watermark_detector_spark.zip \
     jobs/curate.py --docs <documents.parquet> --out <dir> \
     [--lang en] [--min-quality 0.5] [--min-tokens 20] [--max-tokens 5000] \
-    [--jaccard 0.5] [--keep-singletons]
+    [--jaccard 0.5]
 """
 
 from __future__ import annotations
@@ -36,9 +36,18 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
            min_tokens: int = 20, max_tokens: int = 5000,
-           jaccard: float = 0.5):
+           jaccard: float = 0.5, out: str | None = None):
     """(curated DataFrame, funnel stats dict). Deterministic keeper
-    rule at every stage: min doc_id survives."""
+    rule at every stage: min doc_id survives.
+
+    Materialization discipline (this lineage is re-read by the funnel
+    counts, three shingle scans inside near-dup, the anti-join, AND the
+    final write — unpersisted it would recompute the gate+hash stages
+    ~7x): the exact-dedup stage is persisted for the duration of the
+    run, and the curated output is materialized exactly once — written
+    to ``out`` and read back when a path is given (the production
+    shape: counts come from the sink, never a second pipeline run), or
+    localCheckpoint'ed at fixture scale."""
     from watermark_detector_spark.functions.text import (
         fingerprint,
         lang_guess,
@@ -62,7 +71,7 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         (F.col("_lang") == lang)
         & (F.col("_quality") >= min_quality)
         & F.col("_n_tokens").between(min_tokens, max_tokens)
-    )
+    ).persist()
     stats["after_gate"] = gated.count()
 
     # exact dedup: one shuffle on the md5 key, min doc_id survives
@@ -72,8 +81,10 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         keyed.join(keepers, "_fp")
         .where(F.col("doc_id") == F.col("_keeper"))
         .drop("_fp", "_keeper")
+        .persist()
     )
     stats["after_exact_dedup"] = exact.count()
+    gated.unpersist()
 
     # near dedup: LSH → Jaccard-on-candidates → components → drop non-keepers
     pairs = near_dup_pairs(exact, threshold=jaccard)
@@ -81,6 +92,12 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         .select(F.col("node").alias("doc_id"))
     curated = exact.join(dups, "doc_id", "left_anti") \
         .drop("_lang", "_quality", "_n_tokens")
+    if out is not None:
+        curated.write.mode("overwrite").parquet(out)
+        curated = spark.read.parquet(out)
+    else:
+        curated = curated.localCheckpoint(eager=True)
+    exact.unpersist()
     stats["after_near_dedup"] = curated.count()
     stats["dropped_total"] = stats["input"] - stats["after_near_dedup"]
     return curated, stats
@@ -100,12 +117,11 @@ def main() -> None:  # pragma: no cover - CLI wrapper
     from watermark_detector_spark.session import get_spark
 
     spark = get_spark(app_name="wmd-curate")
-    curated, stats = curate(
+    _, stats = curate(
         spark, spark.read.parquet(args.docs), lang=args.lang,
         min_quality=args.min_quality, min_tokens=args.min_tokens,
-        max_tokens=args.max_tokens, jaccard=args.jaccard,
+        max_tokens=args.max_tokens, jaccard=args.jaccard, out=args.out,
     )
-    curated.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"out": args.out, **stats}))
     spark.stop()
 
