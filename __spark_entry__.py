@@ -1041,6 +1041,39 @@ def _q62_stream_stream_left_outer(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q66_stream_stream_full_outer(spark, sf: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join-mode
+    matrix (q49 inner, q62 left-outer). Null-emission rules pinned
+    empirically against the two-sided watermark wm = min(max err_ts,
+    max click_ts) - 30min: an unmatched ERROR emits iff err_ts < wm
+    (future clicks need click_ts <= err_ts); an unmatched CLICK emits
+    iff click_ts + 30min < wm (future errors need
+    err_ts <= click_ts + 30min)."""
+    src, _ = _events_stream(spark, sf)
+    errors = (
+        src.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"),
+                F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "30 minutes")
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("click_user"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("err_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "full_outer",
+    ).select("err_id", "click_id")
+    name = "wmd_q66_" + uuid.uuid4().hex[:8]
+    _run_to_memory(joined, name, "append")
+    return spark.table(name)
+
+
 def _q61_chained_stream_aggs(spark, sf: str) -> DataFrame:
     """CHAINED stateful aggregations in ONE streaming query (Spark 3.4+
     multi-stateful-operator support): 5-minute tumbling counts per type,
@@ -1177,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_stream_anti_join": _q60_stream_anti_join,
         "q61_chained_stream_aggs": _q61_chained_stream_aggs,
         "q62_stream_stream_left_outer": _q62_stream_stream_left_outer,
+        "q66_stream_stream_full_outer": _q66_stream_stream_full_outer,
     }
 
 
@@ -1967,6 +2001,31 @@ def oracle_sql() -> dict[str, str]:
                    e.err_user AS user_id
             FROM e, wmv
             WHERE e.err_id NOT IN (SELECT err_id FROM m) AND e.err_ts < wm
+        """,
+        # q66: full-outer stream-stream join — both expiry rules
+        # replayed (see query docstring)
+        "q66_stream_stream_full_outer": """
+            WITH wmv AS (
+              SELECT least(
+                       (SELECT max(ts) FROM events WHERE event_type = 'error'),
+                       (SELECT max(ts) FROM events WHERE event_type = 'click')
+                     ) - INTERVAL 30 MINUTE AS wm),
+            e AS (SELECT event_id AS err_id, user_id AS err_user, ts AS err_ts
+                  FROM events WHERE event_type = 'error'),
+            c AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+                  FROM events WHERE event_type = 'click'),
+            m AS (SELECT e.err_id, c.click_id
+                  FROM e JOIN c ON e.err_user = c.click_user
+                   AND c.click_ts >= e.err_ts - INTERVAL 30 MINUTE
+                   AND c.click_ts <= e.err_ts)
+            SELECT err_id, click_id FROM m
+            UNION ALL
+            SELECT e.err_id, CAST(NULL AS BIGINT) FROM e, wmv
+            WHERE e.err_id NOT IN (SELECT err_id FROM m) AND e.err_ts < wm
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), c.click_id FROM c, wmv
+            WHERE c.click_id NOT IN (SELECT click_id FROM m)
+              AND c.click_ts + INTERVAL 30 MINUTE < wm
         """,
         # q61: chained stateful aggs — both levels replayed in batch;
         # emission rule: hour window end <= final watermark (which also
