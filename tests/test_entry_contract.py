@@ -82,3 +82,13 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "domain" in df.columns
+
+
+def test_every_query_has_an_oracle():
+    """The round-3 invariant the verify recipe references: zero
+    rows-only queries — queries() and oracle_sql() carry identical key
+    sets, so every registered operator is value-checked against an
+    independent engine."""
+    assert set(QUERIES) == set(ORACLES), (
+        set(QUERIES) ^ set(ORACLES)
+    )
