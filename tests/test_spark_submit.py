@@ -49,3 +49,27 @@ def test_spark_submit_py_files_end_to_end(tmp_path_factory, fixture_cfg):
     # metrics listener wrote per-batch progress
     lines = open(root / "metrics.jsonl").read().strip().splitlines()
     assert len(lines) >= 1 and "numInputRows" in lines[0]
+
+    # maintenance in the same launch mode: compact the sink via
+    # spark-submit and verify the ledger + row totals are unchanged
+    n_committed = len(committed)
+    total_rows = sum(m["n_rows"] for m in committed)
+    res2 = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local-cluster[2,4,4096]",
+         "--conf", "spark.driver.memory=4g",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "compact.py"),
+         "--sink", str(root / "sink"),
+         "--retention-s", "0"],
+        capture_output=True, text=True, cwd=str(root), timeout=420,
+    )
+    assert res2.returncode == 0, res2.stderr[-3000:]
+    out = json.loads([ln for ln in res2.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    if n_committed >= 2:  # a fold happened: ledger intact, rows preserved
+        assert out["compacted_ranges"], res2.stdout[-2000:]
+        assert out["committed_batches"] == n_committed
+        assert sum(r["n_rows"] for r in out["compacted_ranges"]) <= total_rows
+        remaining = [m for m in os.listdir(root / "sink" / "_manifest")
+                     if m.endswith(".json")]
+        assert any(m.startswith("compact_") for m in remaining)
