@@ -816,6 +816,60 @@ def _q65_unpivot(spark, sf: str) -> DataFrame:
     )
 
 
+def _q67_listagg(spark, sf: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP,
+    Spark 4.0): deterministic because the order is total (name is
+    unique per region). DuckDB twin: string_agg(... ORDER BY)."""
+    _t(spark, sf, "nation").createOrReplaceTempView("nation_q67")
+    return spark.sql("""
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               CAST(count(*) AS BIGINT) AS n
+        FROM nation_q67 GROUP BY n_regionkey
+    """)
+
+
+def _q68_regexp_extract_all(spark, sf: str) -> DataFrame:
+    """regexp_extract_all + explode: pull every multi-digit token out of
+    each document (the generalized form of the detector's digit-token
+    wildcarding), then frequency-count them per source."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("source",
+                 F.explode(F.regexp_extract_all(F.col("text"),
+                                                F.lit(r"\d{2,}"), 0)).alias("num"))
+        .groupBy("source", "num")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q69_stream_update_mode(spark, sf: str) -> DataFrame:
+    """UPDATE output mode on a watermarked windowed agg — completes the
+    output-mode matrix (q24 append, q56 complete). Update emits every
+    group CHANGED in a micro-batch; with a single availableNow data
+    batch every group changes exactly once, so the latest row per
+    window equals the plain batch aggregation with NO emission filter —
+    the semantic difference from append (which withholds windows the
+    watermark hasn't finalized) made oracle-visible."""
+    src, _ = _events_stream(spark, sf)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type", "n_events",
+        )
+    )
+    name = "wmd_q69_" + uuid.uuid4().hex[:8]
+    _run_to_memory(agg, name, "update")
+    # latest emission per (window, type) is the final count
+    return spark.sql(f"""
+        SELECT window_start, event_type, max(n_events) AS n_events
+        FROM {name} GROUP BY window_start, event_type
+    """)
+
+
 def _q58_ivf_topk(spark, sf: str) -> DataFrame:
     """IVF ANN top-k run at nprobe == n_cells: probing every cell makes
     the index EXACT, so the output equals brute-force top-k and shares
@@ -1197,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_recursive_cte": _q63_recursive_cte,
         "q64_variant_json": _q64_variant_json,
         "q65_unpivot": _q65_unpivot,
+        "q67_listagg": _q67_listagg,
+        "q68_regexp_extract_all": _q68_regexp_extract_all,
         "q58_ivf_topk": _q58_ivf_topk,
         "q59_dedup_clusters": _q59_dedup_clusters,
         # -- streaming (checkpointed runs; staged events dir is shared) --
@@ -1211,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_chained_stream_aggs": _q61_chained_stream_aggs,
         "q62_stream_stream_left_outer": _q62_stream_stream_left_outer,
         "q66_stream_stream_full_outer": _q66_stream_stream_full_outer,
+        "q69_stream_update_mode": _q69_stream_update_mode,
     }
 
 
@@ -2001,6 +2058,29 @@ def oracle_sql() -> dict[str, str]:
                    e.err_user AS user_id
             FROM e, wmv
             WHERE e.err_id NOT IN (SELECT err_id FROM m) AND e.err_ts < wm
+        """,
+        # q67-q69: ordered string agg, regex extraction, update-mode
+        # windowed agg (latest emission == plain batch agg, no
+        # append-mode emission filter)
+        "q67_listagg": """
+            SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM nation GROUP BY n_regionkey
+        """,
+        "q68_regexp_extract_all": """
+            SELECT source, num, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT source,
+                         unnest(regexp_extract_all(text, '\\d{2,}')) AS num
+                  FROM documents)
+            GROUP BY source, num
+        """,
+        "q69_stream_update_mode": f"""
+            SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts),
+                            '{_TS_FMT_DUCK}') AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         # q66: full-outer stream-stream join — both expiry rules
         # replayed (see query docstring)
