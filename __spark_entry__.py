@@ -988,26 +988,9 @@ def _q49_stream_stream_join(spark, sf: str) -> DataFrame:
     user's 'click' events within the preceding 30 minutes, watermarks on
     both sides. With availableNow over one batch every match emits, so
     the oracle is the plain batch interval join."""
-    src, _ = _events_stream(spark, sf)
-    errors = (
-        src.where(F.col("event_type") == "error")
-        .select(F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"),
-                F.col("ts").alias("err_ts"))
-        .withWatermark("err_ts", "30 minutes")
+    joined = _err_click_interval_join(spark, sf, "inner").select(
+        "err_id", "click_id", F.col("err_user").alias("user_id")
     )
-    clicks = (
-        src.where(F.col("event_type") == "click")
-        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("click_user"),
-                F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "30 minutes")
-    )
-    joined = errors.join(
-        clicks,
-        (F.col("err_user") == F.col("click_user"))
-        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("click_ts") <= F.col("err_ts")),
-        "inner",
-    ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
     name = "wmd_q49_" + uuid.uuid4().hex[:8]
     _run_to_memory(joined, name, "append")
     return spark.table(name)
@@ -1062,14 +1045,14 @@ def _q60_stream_anti_join(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
-def _q62_stream_stream_left_outer(spark, sf: str) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join: unmatched errors emit a
-    NULL-padded row once the watermark proves no future click can match.
-    Emission rule (empirically pinned): the GLOBAL watermark is the MIN
-    over both streams' column watermarks (min(max err_ts, max click_ts)
-    - 30min), and an unmatched error null-emits iff err_ts < wm — the
-    binding future-match constraint is click_ts <= err_ts, so err_ts
-    past the watermark can never match a future click."""
+def _err_click_interval_join(spark, sf: str, how: str) -> DataFrame:
+    """Shared construction for the stream-stream interval-join family
+    (q49 inner, q62 left_outer, q66 full_outer): errors joined to the
+    same user's clicks within the preceding 30 minutes, 30-minute
+    watermarks on BOTH event-time columns. The empirically-pinned
+    expiry rules in the q62/q66 oracles depend on exactly these
+    constants — this single definition is what keeps the four copies
+    (two queries, two oracles) from drifting apart."""
     src, _ = _events_stream(spark, sf)
     errors = (
         src.where(F.col("event_type") == "error")
@@ -1083,13 +1066,45 @@ def _q62_stream_stream_left_outer(spark, sf: str) -> DataFrame:
                 F.col("ts").alias("click_ts"))
         .withWatermark("click_ts", "30 minutes")
     )
-    joined = errors.join(
+    return errors.join(
         clicks,
         (F.col("err_user") == F.col("click_user"))
         & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("click_ts") <= F.col("err_ts")),
-        "left_outer",
-    ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
+        how,
+    )
+
+
+# shared oracle CTE prefix for the outer-join expiry oracles: global
+# watermark = min over BOTH column watermarks; m = the inner match set
+_ERR_CLICK_ORACLE_CTE = """
+    wmv AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'error'),
+               (SELECT max(ts) FROM events WHERE event_type = 'click')
+             ) - INTERVAL 30 MINUTE AS wm),
+    e AS (SELECT event_id AS err_id, user_id AS err_user, ts AS err_ts
+          FROM events WHERE event_type = 'error'),
+    c AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    m AS (SELECT e.err_id, c.click_id, e.err_user AS user_id
+          FROM e JOIN c ON e.err_user = c.click_user
+           AND c.click_ts >= e.err_ts - INTERVAL 30 MINUTE
+           AND c.click_ts <= e.err_ts)
+"""
+
+
+def _q62_stream_stream_left_outer(spark, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: unmatched errors emit a
+    NULL-padded row once the watermark proves no future click can match.
+    Emission rule (empirically pinned): the GLOBAL watermark is the MIN
+    over both streams' column watermarks (min(max err_ts, max click_ts)
+    - 30min), and an unmatched error null-emits iff err_ts < wm — the
+    binding future-match constraint is click_ts <= err_ts, so err_ts
+    past the watermark can never match a future click."""
+    joined = _err_click_interval_join(spark, sf, "left_outer").select(
+        "err_id", "click_id", F.col("err_user").alias("user_id")
+    )
     name = "wmd_q62_" + uuid.uuid4().hex[:8]
     _run_to_memory(joined, name, "append")
     return spark.table(name)
@@ -1103,26 +1118,9 @@ def _q66_stream_stream_full_outer(spark, sf: str) -> DataFrame:
     (future clicks need click_ts <= err_ts); an unmatched CLICK emits
     iff click_ts + 30min < wm (future errors need
     err_ts <= click_ts + 30min)."""
-    src, _ = _events_stream(spark, sf)
-    errors = (
-        src.where(F.col("event_type") == "error")
-        .select(F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"),
-                F.col("ts").alias("err_ts"))
-        .withWatermark("err_ts", "30 minutes")
+    joined = _err_click_interval_join(spark, sf, "full_outer").select(
+        "err_id", "click_id"
     )
-    clicks = (
-        src.where(F.col("event_type") == "click")
-        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("click_user"),
-                F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "30 minutes")
-    )
-    joined = errors.join(
-        clicks,
-        (F.col("err_user") == F.col("click_user"))
-        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("click_ts") <= F.col("err_ts")),
-        "full_outer",
-    ).select("err_id", "click_id")
     name = "wmd_q66_" + uuid.uuid4().hex[:8]
     _run_to_memory(joined, name, "append")
     return spark.table(name)
@@ -2038,20 +2036,8 @@ def oracle_sql() -> dict[str, str]:
         # q62: stream-stream LEFT OUTER interval join — matches emit as
         # they arrive; unmatched errors null-emit iff err_ts < global
         # watermark (min over BOTH column watermarks; see query docstring)
-        "q62_stream_stream_left_outer": """
-            WITH wmv AS (
-              SELECT least(
-                       (SELECT max(ts) FROM events WHERE event_type = 'error'),
-                       (SELECT max(ts) FROM events WHERE event_type = 'click')
-                     ) - INTERVAL 30 MINUTE AS wm),
-            e AS (SELECT event_id AS err_id, user_id AS err_user, ts AS err_ts
-                  FROM events WHERE event_type = 'error'),
-            c AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
-                  FROM events WHERE event_type = 'click'),
-            m AS (SELECT e.err_id, c.click_id, e.err_user AS user_id
-                  FROM e JOIN c ON e.err_user = c.click_user
-                   AND c.click_ts >= e.err_ts - INTERVAL 30 MINUTE
-                   AND c.click_ts <= e.err_ts)
+        "q62_stream_stream_left_outer": f"""
+            WITH {_ERR_CLICK_ORACLE_CTE}
             SELECT err_id, click_id, user_id FROM m
             UNION ALL
             SELECT e.err_id, CAST(NULL AS BIGINT) AS click_id,
@@ -2084,20 +2070,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q66: full-outer stream-stream join — both expiry rules
         # replayed (see query docstring)
-        "q66_stream_stream_full_outer": """
-            WITH wmv AS (
-              SELECT least(
-                       (SELECT max(ts) FROM events WHERE event_type = 'error'),
-                       (SELECT max(ts) FROM events WHERE event_type = 'click')
-                     ) - INTERVAL 30 MINUTE AS wm),
-            e AS (SELECT event_id AS err_id, user_id AS err_user, ts AS err_ts
-                  FROM events WHERE event_type = 'error'),
-            c AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
-                  FROM events WHERE event_type = 'click'),
-            m AS (SELECT e.err_id, c.click_id
-                  FROM e JOIN c ON e.err_user = c.click_user
-                   AND c.click_ts >= e.err_ts - INTERVAL 30 MINUTE
-                   AND c.click_ts <= e.err_ts)
+        "q66_stream_stream_full_outer": f"""
+            WITH {_ERR_CLICK_ORACLE_CTE}
             SELECT err_id, click_id FROM m
             UNION ALL
             SELECT e.err_id, CAST(NULL AS BIGINT) FROM e, wmv

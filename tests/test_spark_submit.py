@@ -69,7 +69,9 @@ def test_spark_submit_py_files_end_to_end(tmp_path_factory, fixture_cfg):
     if n_committed >= 2:  # a fold happened: ledger intact, rows preserved
         assert out["compacted_ranges"], res2.stdout[-2000:]
         assert out["committed_batches"] == n_committed
-        assert sum(r["n_rows"] for r in out["compacted_ranges"]) <= total_rows
+        # one streaming query commits contiguous ids, so the fold covers
+        # EVERY batch: strict equality, or the rewrite lost rows
+        assert sum(r["n_rows"] for r in out["compacted_ranges"]) == total_rows
         remaining = [m for m in os.listdir(root / "sink" / "_manifest")
                      if m.endswith(".json")]
         assert any(m.startswith("compact_") for m in remaining)
