@@ -195,10 +195,15 @@ class ExactlyOnceParquetSink:
                 continue
             stem = f[:-5]
             if stem.startswith("compact_"):
-                lo, hi = stem[len("compact_"):].split("-")
+                lo, _, hi = stem[len("compact_"):].partition("-")
+                if not (lo.isdigit() and hi.isdigit()):
+                    continue  # foreign/malformed file, not a ledger entry
                 ranges.append({"lo": int(lo), "hi": int(hi), "file": f})
-            else:
+            elif stem.isdigit():
                 singles.append(int(stem))
+            # any other .json (editor artifact, future metadata file) is
+            # not ours to parse — skipping beats taking down every
+            # read/write/compact path with a ValueError
         covered = set()
         for r in ranges:
             covered.update(range(r["lo"], r["hi"] + 1))
@@ -366,7 +371,7 @@ class ExactlyOnceParquetSink:
         live_ranges = {f"compact_{r['lo']}-{r['hi']}" for r in ranges}
         swept = 0
         for f in fs.listdir(self.manifest_dir):
-            if f.endswith(".json") and not f.startswith("compact_"):
+            if f.endswith(".json") and not f.startswith("compact_") and f[:-5].isdigit():
                 b = int(f[:-5])
                 if b in covered_old:
                     # data FIRST, then manifest: the manifest is the
@@ -377,7 +382,19 @@ class ExactlyOnceParquetSink:
                     swept += 1
         for d in fs.listdir(self.data_dir):
             if (d.startswith("compact_") and d not in live_ranges
-                    and now - fs.mtime(os.path.join(self.data_dir, d)) >= retention_s):
+                    and now - self._newest_mtime(os.path.join(self.data_dir, d))
+                    >= retention_s):
                 fs.delete(os.path.join(self.data_dir, d), recursive=True)
                 swept += 1
         return swept
+
+    def _newest_mtime(self, d: str) -> float:
+        """Newest FILE mtime under *d* (the dir's own status only when
+        empty). Object stores (s3a) report synthetic-directory mtime as 0,
+        which would make a directory-status retention gate pass
+        immediately and let vacuum delete a concurrent compactor's
+        written-but-not-yet-published compact_* dir; the newest contained
+        file reflects actual write recency on every Hadoop FS scheme."""
+        fs = self.fs
+        times = [fs.mtime(os.path.join(d, f)) for f in fs.listdir(d)]
+        return max(times) if times else fs.mtime(d)
