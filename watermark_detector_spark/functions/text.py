@@ -8,7 +8,7 @@ derivations that should never leave WholeStageCodegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -90,6 +90,131 @@ def prefix_fingerprint(text: Column, n_tokens: int = 5) -> Column:
     """Head fingerprint: first-n-token key (catches boilerplate-headed
     duplicates that exact hashing misses)."""
     return F.array_join(F.slice(tokens_col(text), 1, n_tokens), " ")
+
+
+# -- Gopher/C4-style repetition & boilerplate quality rules ----------------
+# (Rae et al. 2021 "Scaling Language Models" §A1.1; Raffel et al. 2020 C4.)
+# The standard LLM-corpus gates beyond the composite quality_score above:
+# repetition (duplicate lines, top/duplicated n-grams) and boilerplate
+# (symbol density, degenerate word lengths). Scalar rules are pure array
+# expressions (codegen, zero shuffle); n-gram rules are one keyed
+# aggregation per n — nothing quadratic, nothing collected.
+
+
+def lines_col(text: Column, delim: str = "\n") -> Column:
+    """Trimmed, non-empty line segments (``delim`` is a Java regex)."""
+    return F.filter(
+        F.transform(F.split(text, delim), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def dup_line_fraction(text: Column, delim: str = "\n") -> Column:
+    """Gopher duplicate-line fraction: repeated lines / total lines.
+    Pure array expressions — no shuffle, no UDF."""
+    lines = lines_col(text, delim)
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round((n - F.size(F.array_distinct(lines))) / n, 4)
+    )
+
+
+def dup_line_char_fraction(text: Column, delim: str = "\n") -> Column:
+    """Gopher duplicate-line CHARACTER fraction: characters inside
+    repeated line occurrences / characters in all lines."""
+    lines = lines_col(text, delim)
+    tot = F.aggregate(lines, F.lit(0), lambda a, s: a + F.length(s))
+    uniq = F.aggregate(F.array_distinct(lines), F.lit(0),
+                       lambda a, s: a + F.length(s))
+    return F.when(tot <= 0, F.lit(0.0)).otherwise(
+        F.round((tot - uniq) / tot, 4)
+    )
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Gopher symbol-to-word ratio: '#' and non-overlapping '...'
+    occurrences per whitespace token (boilerplate/markup density)."""
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (F.length(text)
+             - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    return F.round(
+        (n_hash + n_ell) / F.greatest(token_count(text), F.lit(1)), 4
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean whitespace-token length (Gopher gates on 3..10)."""
+    toks = tokens_col(text)
+    return F.round(
+        F.aggregate(toks, F.lit(0), lambda a, s: a + F.length(s))
+        / F.greatest(F.size(toks), F.lit(1)),
+        4,
+    )
+
+
+def ngram_stats(df: DataFrame, n: int, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-doc n-gram repetition stats: ``top{n}_frac`` = occurrences of
+    the single most frequent word n-gram / total n-grams (Gopher's
+    top-n-gram fraction, token-denominated), ``dup{n}_frac`` = n-grams
+    whose gram occurs more than once / total n-grams. Docs with fewer
+    than ``n`` tokens are absent (join back with 0.0 defaults —
+    ``gopher_quality`` does). Two keyed aggregations, no UDF."""
+    from ..operators.dedup import ordered_shingles
+
+    cnt = (
+        ordered_shingles(df, id_col, text_col, n)
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias(f"top{n}_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 4
+        ).alias(f"dup{n}_frac"),
+    )
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", line_delim: str = "\n",
+                   max_dup_line_frac: float = 0.30,
+                   max_top2_frac: float = 0.20,
+                   max_top3_frac: float = 0.18,
+                   max_dup5_frac: float = 0.30,
+                   max_symbol_ratio: float = 0.10,
+                   min_mean_word_len: float = 2.0,
+                   max_mean_word_len: float = 12.0) -> DataFrame:
+    """All repetition/boilerplate rules + a composite ``keep`` gate
+    (thresholds default to Gopher's, word-length band widened for
+    short-word corpora). Scalar rules ride the scan; the three n-gram
+    rules add one keyed aggregation each, broadcast-free left joins
+    back on the doc key (absent = doc shorter than n tokens = 0.0)."""
+    text = F.col(text_col)
+    base = df.select(
+        id_col,
+        dup_line_fraction(text, line_delim).alias("dup_line_frac"),
+        dup_line_char_fraction(text, line_delim).alias("dup_line_char_frac"),
+        symbol_word_ratio(text).alias("symbol_ratio"),
+        mean_word_length(text).alias("mean_word_len"),
+    )
+    for n in (2, 3, 5):
+        base = base.join(ngram_stats(df, n, id_col, text_col), id_col, "left")
+    zeroed = [F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+              for c in ("top2_frac", "dup2_frac", "top3_frac", "dup3_frac",
+                        "top5_frac", "dup5_frac")]
+    out = base.select(
+        id_col, "dup_line_frac", "dup_line_char_frac", "symbol_ratio",
+        "mean_word_len", *zeroed,
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top2_frac") <= max_top2_frac)
+        & (F.col("top3_frac") <= max_top3_frac)
+        & (F.col("dup5_frac") <= max_dup5_frac)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len),
+    )
 
 
 try:  # Python UDTF (pyspark >= 3.5): table-valued chunker

@@ -317,3 +317,36 @@ def dedup_keepers(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> D
         "node", F.col("cluster_id").alias("keeper_id"),
         (F.col("node") != F.col("cluster_id")).alias("is_duplicate"),
     )
+
+
+def contaminated_ids(train: DataFrame, holdout: DataFrame, n: int = 3,
+                     window: int = 4, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Train/test decontamination detector: training docs sharing ANY
+    winnowing fingerprint with the holdout corpus, with the count of
+    distinct shared fingerprints. The winnowing guarantee (any shared
+    run of >= window+n-1 tokens shares a fingerprint) makes this a
+    conservative superset of exact >=6-token overlap at the defaults —
+    the standard eval-set leakage gate for LLM training corpora.
+
+    Shape at 100 TB: fingerprint both sides (one keyed window shuffle
+    each), then ONE semi-join-style shuffle on the short fp key; holdout
+    fingerprints are typically tiny (an eval set) so AQE will broadcast
+    that side. Nothing quadratic, nothing collected."""
+    fp_t = winnow_fingerprints(train, n, window, id_col, text_col)
+    fp_h = (winnow_fingerprints(holdout, n, window, id_col, text_col)
+            .select("fp").distinct())
+    return (
+        fp_t.join(fp_h, "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+def decontaminate(train: DataFrame, holdout: DataFrame, n: int = 3,
+                  window: int = 4, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Drop every training doc flagged by ``contaminated_ids`` (anti-join
+    on the doc key) — the apply-side of decontamination."""
+    flagged = contaminated_ids(train, holdout, n, window, id_col, text_col)
+    return train.join(flagged.select(id_col), id_col, "left_anti")
