@@ -577,3 +577,91 @@ def test_curate_job_funnel(spark):
     assert stats["after_exact_dedup"] == 3   # 2 collapsed into 1
     assert stats["after_near_dedup"] == 2    # 3 clustered with 1, dropped
     assert stats["dropped_total"] == 4
+
+
+def test_gopher_quality_hand_computed(spark):
+    """Gopher/C4 repetition rules against hand-computed values: a doc
+    with a repeated line trips dup-line and top-2-gram rules; a doc of
+    distinct words passes every gate."""
+    from watermark_detector_spark.functions.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb\naaa bbb\nccc ddd"),
+         (2, "one two three four five six seven eight nine ten eleven twelve")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in gopher_quality(docs).collect()}
+    a = out[1]
+    # lines: [aaa bbb, aaa bbb, ccc ddd] -> 1 of 3 repeated, 7 of 21 chars
+    assert a["dup_line_frac"] == round(1 / 3, 4)
+    assert a["dup_line_char_frac"] == round(7 / 21, 4)
+    # 2-grams (5 incl. across the line breaks): 'aaa bbb' x2 -> 2/5
+    assert a["top2_frac"] == 0.4 and a["dup2_frac"] == 0.4
+    # 3-grams all distinct -> top 1/4, dup 0
+    assert a["top3_frac"] == 0.25 and a["dup3_frac"] == 0.0
+    assert a["mean_word_len"] == 3.0 and a["symbol_ratio"] == 0.0
+    assert not a["keep"]  # dup_line 0.3333 > 0.30 and top2 0.4 > 0.20
+    b = out[2]
+    assert b["dup_line_frac"] == 0.0 and b["dup5_frac"] == 0.0
+    assert b["top2_frac"] == round(1 / 11, 4)
+    assert b["keep"]
+
+
+def test_gopher_symbol_ratio(spark):
+    """Symbol-to-word ratio counts '#' and non-overlapping '...'."""
+    from watermark_detector_spark.functions.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [(1, "read more ... click here ... ## menu ## footer")],
+        "doc_id long, text string")
+    row = gopher_quality(docs).collect()[0]
+    # 4 hashes + 2 ellipses over 10 whitespace tokens
+    assert row["symbol_ratio"] == round(6 / 10, 4)
+    assert not row["keep"]
+
+
+def test_decontaminate_flags_shared_runs(spark):
+    """Decontamination: a training doc sharing a >= window+n-1 token run
+    with the holdout is flagged (winnowing guarantee) and dropped by
+    decontaminate(); disjoint docs survive."""
+    from watermark_detector_spark.operators.dedup import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 4+3-1
+    train = spark.createDataFrame(
+        [(1, f"intro words here {shared} tail one"),
+         (2, "no overlap at all with anything else whatsoever here")],
+        "doc_id long, text string")
+    holdout = spark.createDataFrame(
+        [(100, f"an eval question mentioning {shared} verbatim")],
+        "doc_id long, text string")
+    flagged = contaminated_ids(train, holdout).toPandas()
+    assert flagged["doc_id"].tolist() == [1]
+    assert (flagged["n_shared_fps"] >= 1).all()
+    clean = decontaminate(train, holdout)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_curate_with_holdout(spark):
+    """curate(holdout=...) drops curated docs leaking into the eval set
+    and reports the decontaminated count in the funnel stats."""
+    from jobs.curate import curate
+
+    doc6 = ("the river flows past the village where the miller grinds "
+            "the corn and the children play by the water under the "
+            "bridge while the birds sing in the trees all day")
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs through the green field near the old barn "
+            "while the farmer watches the sky and the clouds drift")
+    docs = spark.createDataFrame(
+        [(1, good, "src0"), (6, doc6, "src2")],
+        "doc_id long, text string, source string")
+    holdout = spark.createDataFrame(
+        [(900, "eval prompt: " + doc6)], "doc_id long, text string")
+    curated, stats = curate(spark, docs, holdout=holdout)
+    assert [r["doc_id"] for r in curated.collect()] == [1]
+    assert stats["decontaminated"] == 1
+    assert stats["after_near_dedup"] == 2
+    assert stats["dropped_total"] == 1
