@@ -247,7 +247,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iters: int = 25) -> DataFrame:
+                   max_iters: int = 25,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-dup pairs → (node, cluster_id),
     cluster_id = min doc id in the component. This is the missing third
     stage of production dedup: candidate PAIRS (LSH) → exact scores →
@@ -268,16 +269,36 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
     Raises after ``max_iters`` non-converged rounds (25 covers a
     diameter of ~2^25 via doubling) rather than returning wrong labels.
-    """
+
+    Durability trade-off: the default localCheckpoint stores round
+    state as executor-local blocks — fastest, but a lost executor
+    (preemptible/spot node at 100x scale) kills the job mid-iteration.
+    Pass ``checkpoint_dir`` to truncate lineage through a parquet
+    write/read-back per round instead (any Hadoop FS scheme): each
+    round is then independently restartable and survives executor
+    loss, at the cost of one materialization per round. The returned
+    DataFrame reads from that dir — consume it before deleting."""
+    import os as _os
+
+    def _truncate(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = _os.path.join(checkpoint_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False)
+    edges = _truncate(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        "edges",
+    )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("lbl"))
     )
-    for _ in range(max_iters):
+    for i in range(max_iters):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
             .select(edges.src.alias("node"), "lbl")
@@ -289,10 +310,13 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # pointer jumping: follow lbl -> lbl(lbl) (labels are node ids,
         # so the lookup is a self-join; misses mean lbl is already a root)
         hop = prop.select(F.col("node").alias("_n2"), F.col("lbl").alias("_l2"))
-        new = (
+        # truncate lineage per round; two alternating dirs in durable
+        # mode (round i's target was last used by round i-2, which no
+        # live DataFrame references by the time round i writes)
+        new = _truncate(
             prop.join(hop, prop.lbl == hop._n2, "left")
-            .select("node", F.coalesce("_l2", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            .select("node", F.coalesce("_l2", "lbl").alias("lbl")),
+            f"labels_{i % 2}",
         )
         changed = (
             new.join(labels.withColumnRenamed("lbl", "_old"), "node")
