@@ -532,3 +532,60 @@ def test_compaction_interleaved_with_stream_restart(spark, fixture_cfg,
     got = _norm_stream(sink2.read(spark).toPandas())
     want = _norm_stream(ref.read(spark).toPandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_concurrent_compact_during_active_stream(spark, fixture_cfg,
+                                                 fixture_paths,
+                                                 tmp_path_factory):
+    """Compaction from a SEPARATE maintenance-process sink instance while
+    the stream is actively committing (not between runs, as the restart
+    test covers): no batch lost, a replay of a batch the compactor just
+    folded is an effective no-op (rewritten entries stay shadowed by the
+    range manifest, so readers never double-count), the ledger stays
+    contiguous, and totals match the streamed input exactly."""
+    root = tmp_path_factory.mktemp("concurrent_compact")
+    sink_root = str(root / "sink")
+    writer_sink = ExactlyOnceParquetSink(sink_root, output_partitions=2,
+                                         vacuum_retention_s=0)
+    # second instance = the separate compactor process (own ranges cache)
+    compactor = ExactlyOnceParquetSink(sink_root, output_partitions=2,
+                                       vacuum_retention_s=0)
+    mid = {}
+
+    def handle(df, bid):
+        writer_sink.write_batch(df.select("url"), bid)
+        if bid == 3:
+            # maintenance kicks in mid-stream: folds 0..3 and (retention
+            # 0) immediately sweeps their per-batch manifests
+            mid["entries"] = compactor.compact(spark)
+            # the streaming engine replays a just-folded batch against
+            # the writer's now-STALE ranges cache: the rewrite lands as
+            # a shadowed per-batch entry that readers must ignore
+            writer_sink.write_batch(df.select("url"), 2)
+
+    pages = read_pages_stream(spark, fixture_paths["pages_stream"], 1)
+    q = (pages.writeStream.outputMode("append")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .foreachBatch(handle).trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    assert mid["entries"] and mid["entries"][0]["lo"] == 0
+    assert mid["entries"][0]["hi"] >= 3
+    total = spark.read.parquet(fixture_paths["pages_stream"]).count()
+    assert writer_sink.read(spark).count() == total
+    committed = writer_sink.committed_batches()
+    assert committed == list(range(len(committed)))
+    assert len(committed) >= fixture_cfg.n_batches
+
+    # replays before/at/after the compaction point: all effective no-ops
+    for b in (0, 3, committed[-1]):
+        writer_sink.write_batch(
+            spark.range(7).withColumnRenamed("id", "url"), b)
+    assert writer_sink.read(spark).count() == total
+
+    # a later maintenance pass folds the whole ledger (incl. shadowed
+    # rewrites) and sweeps it clean; content still byte-stable
+    compactor.compact(spark)
+    assert compactor.vacuum() == 0 or writer_sink.read(spark).count() == total
+    assert writer_sink.read(spark).count() == total
+    assert writer_sink.committed_batches() == committed
