@@ -791,6 +791,29 @@ def _q71_decontaminate(spark, sf: str) -> DataFrame:
     )
 
 
+def _q72_funnel(spark, sf: str) -> DataFrame:
+    """CEP funnel (ClickHouse windowFunnel analog): per-user greedy-
+    earliest view -> click -> purchase chain, level cut at a 24 h window
+    from the chain start. One keyed sort, k cumulative-min window
+    columns, no self-join (operators/cep.funnel)."""
+    from watermark_detector_spark.operators.cep import funnel
+
+    e = _t(spark, sf, "events")
+    return funnel(e, ["view", "click", "purchase"], within_s=86400,
+                  tiebreak_cols=("event_id",))
+
+
+def _q73_adjacent_pattern(spark, sf: str) -> DataFrame:
+    """CEP adjacency (MATCH_RECOGNIZE PATTERN (A B)): click IMMEDIATELY
+    followed by purchase (no intervening event of any type) within 1 h,
+    per user — one lag() over the keyed sort (operators/cep.adjacent_pairs)."""
+    from watermark_detector_spark.operators.cep import adjacent_pairs
+
+    e = _t(spark, sf, "events")
+    return adjacent_pairs(e, "click", "purchase", max_gap_s=3600,
+                          tiebreak_cols=("event_id",))
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1254,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (also uncertified) --
         "q70_quality_rules": _q70_quality_rules,
         "q71_decontaminate": _q71_decontaminate,
+        "q72_funnel": _q72_funnel,
+        "q73_adjacent_pattern": _q73_adjacent_pattern,
         # -- previously driver-certified (green in r01-r03), cheapest-first --
         "q01_filter_project": _q01_filter_project,
         "q02_groupby_agg": _q02_groupby_agg,
@@ -1836,6 +1861,55 @@ def oracle_sql() -> dict[str, str]:
               FROM h)
             SELECT DISTINCT doc_id, fp
             FROM wmin WHERE pos1 <= greatest(1, n_sh - 3)
+        """,
+        "q72_funnel": """
+            WITH s0 AS (
+              SELECT user_id, ts, event_type, event_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS m0
+              FROM events),
+            s1 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND m0 < ts THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS m1
+              FROM s0),
+            s2 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' AND m1 < ts THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS m2
+              FROM s1),
+            agg AS (SELECT user_id, min(m0) AS t0, min(m1) AS t1, min(m2) AS t2
+                    FROM s2 GROUP BY 1),
+            lvl AS (
+              SELECT user_id, t0, t1, t2,
+                     (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t1 IS NOT NULL
+                               AND t1 <= t0 + INTERVAL 86400 SECOND
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN t2 IS NOT NULL
+                               AND t2 <= t0 + INTERVAL 86400 SECOND
+                             THEN 1 ELSE 0 END) AS funnel_level
+              FROM agg)
+            SELECT user_id, CAST(funnel_level AS INT) AS funnel_level,
+                   t0 AS t_start,
+                   CASE WHEN funnel_level >= 3 THEN t2
+                        WHEN funnel_level >= 2 THEN t1
+                        ELSE t0 END AS t_complete
+            FROM lvl WHERE funnel_level >= 1
+        """,
+        "q73_adjacent_pattern": """
+            WITH l AS (
+              SELECT user_id, ts AS second_ts, event_type AS second_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS first_type,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS first_ts
+              FROM events)
+            SELECT user_id, first_ts, second_ts
+            FROM l
+            WHERE first_type = 'click' AND second_type = 'purchase'
+              AND second_ts <= first_ts + INTERVAL 3600 SECOND
         """,
         "q70_quality_rules": """
             WITH base AS (

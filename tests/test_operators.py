@@ -687,3 +687,62 @@ def test_dedup_clusters_reliable_checkpoint_mode(spark, tmp_path):
     assert all(r == 100 for r in durable.values()) and len(durable) == 65
     assert os.path.isdir(os.path.join(ckpt, "edges"))
     assert os.path.isdir(os.path.join(ckpt, "labels_0"))
+
+
+def test_funnel_greedy_semantics(spark):
+    """funnel(): greedy-earliest chain, strict ordering, window cut.
+    Hand-built per-user sequences pin every semantic corner."""
+    from datetime import datetime
+
+    from watermark_detector_spark.operators.cep import funnel
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full chain inside window -> level 3
+        (1, T(0), "view", 1), (1, T(10), "click", 2), (1, T(20), "purchase", 3),
+        # u2: purchase BEFORE click -> chain stops at level 2
+        (2, T(0), "view", 4), (2, T(5), "purchase", 5), (2, T(10), "click", 6),
+        # u3: click precedes the first view -> only the view counts
+        (3, T(0), "click", 7), (3, T(5), "view", 8),
+        # u4: full chain but purchase outside the 30 s window -> level 2
+        (4, T(0), "view", 9), (4, T(10), "click", 10), (4, T(45), "purchase", 11),
+        # u5: no step-1 event at all -> absent from output
+        (5, T(0), "click", 12), (5, T(5), "purchase", 13),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    got = {r["user_id"]: r for r in
+           funnel(df, ["view", "click", "purchase"], within_s=30,
+                  tiebreak_cols=("event_id",)).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["funnel_level"] == 3 and got[1]["t_complete"] == T(20)
+    assert got[2]["funnel_level"] == 2 and got[2]["t_complete"] == T(10)
+    # u3's chain starts at its earliest VIEW (T5), not the earlier click
+    assert got[3]["funnel_level"] == 1 and got[3]["t_complete"] == T(5)
+    assert got[3]["t_start"] == T(5)
+    assert got[4]["funnel_level"] == 2 and got[4]["t_complete"] == T(10)
+    assert all(got[u]["t_start"] == T(0) for u in (1, 2, 4))
+
+
+def test_adjacent_pairs_strict_adjacency(spark):
+    """adjacent_pairs(): only CONSECUTIVE A->B rows match — an
+    intervening event of any type breaks the pattern, and the gap
+    bound is enforced."""
+    from datetime import datetime
+
+    from watermark_detector_spark.operators.cep import adjacent_pairs
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, T(0), "click", 1), (1, T(5), "purchase", 2),     # match
+        (2, T(0), "click", 3), (2, T(2), "view", 4),
+        (2, T(4), "purchase", 5),                            # broken by view
+        (3, T(0), "click", 6), (3, T(50), "purchase", 7),    # gap > 30 s
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    got = adjacent_pairs(df, "click", "purchase", max_gap_s=30,
+                         tiebreak_cols=("event_id",)).collect()
+    assert [(r["user_id"], r["first_ts"], r["second_ts"]) for r in got] == [
+        (1, T(0), T(5))
+    ]

@@ -1,0 +1,118 @@
+"""Complex-event-processing primitives over keyed event streams/tables:
+ordered-sequence funnels and adjacent-pattern detection.
+
+These are the batch forms of the CEP surface (the streaming session /
+stateful operators in streaming/ are their event-time twins). Both are
+pure window/aggregate compositions — one shuffle on the key, a per-key
+sort, no UDF, no self-join — so they hold their shape on 10^12-event
+tables: the cost is the keyed sort-merge pass, identical to any
+sessionization.
+
+Semantics are pinned so an independent SQL engine can replay them
+exactly (the driver oracles do):
+
+- ``funnel``: GREEDY-EARLIEST chain, the ClickHouse ``windowFunnel``
+  analog. t1 = earliest step-1 event; t_{i} = earliest step-i event
+  strictly after t_{i-1}; the reported level counts the chain prefix
+  whose events all fall within ``within_s`` of t1. Greedy-earliest is
+  deterministic and one-pass; it can miss a later chain that would fit
+  the window when the earliest one does not — the standard funnel
+  trade-off, documented here rather than hidden.
+- ``adjacent_pairs``: MATCH_RECOGNIZE ``PATTERN (A B)`` over the keyed
+  event order — consecutive-row matches only, with a max gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def funnel(df: DataFrame, steps: list[str], within_s: int,
+           key_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           tiebreak_cols: tuple = ()) -> DataFrame:
+    """Per-key funnel level over an ordered step-type sequence.
+
+    Output: (key, funnel_level, t_start, t_complete) for every key with
+    level >= 1; t_complete is the timestamp of the deepest step reached
+    within the window (equals t_start at level 1).
+
+    Implementation: k cumulative-min window columns over ONE keyed sort
+    (_m0 = earliest step-0 so far; _mi = earliest step-i so far that is
+    strictly after _m{i-1} as known at that row), then a groupBy taking
+    each column's partition-wide min. Window ordering includes
+    ``tiebreak_cols`` so equal timestamps resolve identically in any
+    engine."""
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = (W.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cur = df.select(key_col, ts_col, type_col, *tiebreak_cols)
+    for i, step in enumerate(steps):
+        hit = F.col(type_col) == step
+        if i > 0:
+            hit = hit & (F.col(f"_m{i-1}") < F.col(ts_col))
+        cur = cur.withColumn(
+            f"_m{i}", F.min(F.when(hit, F.col(ts_col))).over(w)
+        )
+    per_key = cur.groupBy(key_col).agg(
+        *[F.min(f"_m{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    # interval arithmetic (not unix_micros) so TIMESTAMP and
+    # TIMESTAMP_NTZ event-time columns both work
+    horizon = F.expr(f"INTERVAL {int(within_s)} SECOND")
+    in_window = [
+        F.when(
+            F.col(f"_t{i}").isNotNull()
+            & (F.col(f"_t{i}") <= F.col("_t0") + horizon),
+            1,
+        ).otherwise(0)
+        for i in range(len(steps))
+    ]
+    # chain prefix: step i only counts if every earlier step counted
+    # (t_i is built from t_{i-1}, so nulls already cascade; the window
+    # cut must cascade the same way)
+    level = in_window[0]
+    prefix = in_window[0]
+    for i in range(1, len(steps)):
+        prefix = F.least(prefix, in_window[i])
+        level = level + prefix
+    # deepest in-window timestamp: coalesce from deepest step downward,
+    # masked by the same prefix rule via the level value
+    t_complete = F.col("_t0")
+    lvl = F.col("funnel_level")
+    out = per_key.withColumn("funnel_level", level).where(level >= 1)
+    for i in range(1, len(steps)):
+        t_complete = F.when(lvl >= i + 1, F.col(f"_t{i}")).otherwise(t_complete)
+    return out.select(
+        key_col,
+        "funnel_level",
+        F.col("_t0").alias("t_start"),
+        t_complete.alias("t_complete"),
+    )
+
+
+def adjacent_pairs(df: DataFrame, first: str, second: str, max_gap_s: int,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   tiebreak_cols: tuple = ()) -> DataFrame:
+    """MATCH_RECOGNIZE ``PATTERN (A B)``: CONSECUTIVE events per key
+    where type A is immediately followed by type B within ``max_gap_s``
+    seconds (no other event of any type between them — the strict
+    adjacency CEP primitive). One lag() over the keyed sort."""
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = W.partitionBy(key_col).orderBy(*order)
+    lagged = df.select(key_col, ts_col, type_col, *tiebreak_cols).select(
+        key_col,
+        F.col(ts_col).alias("second_ts"),
+        F.col(type_col).alias("second_type"),
+        F.lag(type_col).over(w).alias("first_type"),
+        F.lag(ts_col).over(w).alias("first_ts"),
+    )
+    return lagged.where(
+        (F.col("first_type") == first)
+        & (F.col("second_type") == second)
+        & (F.col("second_ts")
+           <= F.col("first_ts") + F.expr(f"INTERVAL {int(max_gap_s)} SECOND"))
+    ).select(key_col, "first_ts", "second_ts")
