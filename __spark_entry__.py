@@ -814,6 +814,28 @@ def _q73_adjacent_pattern(spark, sf: str) -> DataFrame:
                           tiebreak_cols=("event_id",))
 
 
+def _q74_stream_pattern(spark, sf: str) -> DataFrame:
+    """STREAMING CEP adjacency (applyInPandasWithState + event-time
+    timeout): click immediately followed by purchase within 1 h per
+    user, decided only once the second event drops below the watermark
+    (buffer-above-watermark, emit-on-finalize — streaming/state.
+    pattern_match_stream). Emission rule the oracle replays: pairs whose
+    second event time < final watermark (max event time truncated to ms,
+    minus 30 min)."""
+    from watermark_detector_spark.streaming.state import pattern_match_stream
+
+    src, _ = _events_stream(spark, sf)
+    pm = pattern_match_stream(src, "click", "purchase", max_gap_s=3600,
+                              watermark="30 minutes")
+    name = "wmd_q74_" + uuid.uuid4().hex[:8]
+    _run_to_memory(pm, name, "append")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("first_ts", _TS_FMT_SPARK).alias("first_ts"),
+        F.date_format("second_ts", _TS_FMT_SPARK).alias("second_ts"),
+    )
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1279,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_decontaminate": _q71_decontaminate,
         "q72_funnel": _q72_funnel,
         "q73_adjacent_pattern": _q73_adjacent_pattern,
+        "q74_stream_pattern": _q74_stream_pattern,
         # -- previously driver-certified (green in r01-r03), cheapest-first --
         "q01_filter_project": _q01_filter_project,
         "q02_groupby_agg": _q02_groupby_agg,
@@ -1897,6 +1920,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN funnel_level >= 2 THEN t1
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q74_stream_pattern": f"""
+            WITH wm AS (
+              SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS wm_us
+              FROM events),
+            l AS (
+              SELECT user_id, ts AS second_ts, event_type AS second_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS first_type,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS first_ts
+              FROM events)
+            SELECT user_id,
+                   strftime(first_ts, '{_TS_FMT_DUCK}') AS first_ts,
+                   strftime(second_ts, '{_TS_FMT_DUCK}') AS second_ts
+            FROM l, wm
+            WHERE first_type = 'click' AND second_type = 'purchase'
+              AND second_ts <= first_ts + INTERVAL 3600 SECOND
+              AND epoch_us(second_ts) < wm.wm_us
         """,
         "q73_adjacent_pattern": """
             WITH l AS (

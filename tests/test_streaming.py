@@ -589,3 +589,54 @@ def test_concurrent_compact_during_active_stream(spark, fixture_cfg,
     assert compactor.vacuum() == 0 or writer_sink.read(spark).count() == total
     assert writer_sink.read(spark).count() == total
     assert writer_sink.committed_batches() == committed
+
+
+def test_pattern_match_stream_semantics(spark, tmp_path_factory):
+    """Streaming CEP adjacency: out-of-order arrival across micro-
+    batches buffers correctly, a LATE event (below watermark on
+    arrival) is dropped and cannot fabricate a match, emission happens
+    via event-time TIMEOUT for keys that stop receiving data, and
+    pairs whose second event never drops below the final watermark are
+    (correctly) not emitted."""
+    from datetime import datetime
+
+    from watermark_detector_spark.streaming.state import pattern_match_stream
+
+    T = lambda m, s: datetime(2024, 1, 1, 10, m, s)
+    root = tmp_path_factory.mktemp("cep_stream")
+    src_dir = root / "src"
+    src_dir.mkdir()
+    batches = [
+        # b1: u1 has an adjacent click->purchase; u2 a lone click
+        [(1, T(0, 0), 1, "click"), (2, T(0, 5), 1, "purchase"),
+         (3, T(0, 0), 2, "click")],
+        # b2: u2's view arrives OUT OF ORDER (ts between u2's click and
+        # a later would-be event); u1 gets a pending click
+        [(4, T(0, 2), 2, "view"), (5, T(2, 0), 1, "click")],
+        # b3: u3's tail pair (never finalizes: second >= final wm);
+        # u2 purchase@10:00:01 is LATE (wm is 10:01:00 by now) -> must
+        # be dropped, else it would create a u2 click->purchase match
+        [(6, T(5, 0), 3, "click"), (7, T(5, 30), 3, "purchase"),
+         (8, T(0, 1), 2, "purchase")],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(src_dir / f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    pm = pattern_match_stream(stream, "click", "purchase", max_gap_s=3600,
+                              watermark="1 minute")
+    q = (pm.writeStream.outputMode("append").format("memory")
+         .queryName("cep_pattern_test")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [(r["user_id"], r["first_ts"], r["second_ts"])
+           for r in spark.table("cep_pattern_test").collect()]
+    assert got == [(1, T(0, 0), T(0, 5))], got

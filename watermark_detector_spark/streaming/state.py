@@ -149,6 +149,114 @@ def _session_fn_factory(gap_s: int):
     return _fn
 
 
+PATTERN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("first_ts", T.TimestampType(), False),
+        T.StructField("second_ts", T.TimestampType(), False),
+    ]
+)
+PATTERN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType()), True),
+        T.StructField("types", T.ArrayType(T.StringType()), True),
+        T.StructField("ids", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _pattern_fn_factory(first_type: str, second_type: str, max_gap_s: int):
+    gap_us = max_gap_s * _US
+
+    def _fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            ts_l, ty_l, id_l = state.get
+            buf = [(int(t), str(y), int(i))
+                   for t, y, i in zip(ts_l, ty_l, id_l)]
+        else:
+            buf = []
+        if not state.hasTimedOut:
+            chunks = [p for p in pdf_iter if len(p)]
+            if chunks:
+                rows = pd.concat(chunks, ignore_index=True)
+                for ts, ty, eid in zip(rows["ts"], rows["event_type"],
+                                       rows["event_id"]):
+                    t_us = int(pd.Timestamp(ts).value // 1000)
+                    if t_us < wm_us:
+                        continue  # late by watermark: dropped, like any
+                        # event-time operator downstream of withWatermark
+                    buf.append((t_us, str(ty), int(eid)))
+        buf.sort(key=lambda r: (r[0], r[2]))
+        # events strictly below the watermark are FINAL: no event can
+        # ever land between them anymore, so adjacency among them is
+        # decided — emit matches, keep only the LAST final event (it may
+        # be the 'first' of a pair completed by a future event)
+        n_final = sum(1 for r in buf if r[0] < wm_us)
+        out = []
+        for i in range(1, n_final):
+            a, b = buf[i - 1], buf[i]
+            if (a[1] == first_type and b[1] == second_type
+                    and b[0] - a[0] <= gap_us):
+                out.append({"user_id": user,
+                            "first_ts": pd.Timestamp(a[0], unit="us"),
+                            "second_ts": pd.Timestamp(b[0], unit="us")})
+        keep = buf[max(0, n_final - 1):]
+        if keep:
+            state.update((
+                [r[0] for r in keep],
+                [r[1] for r in keep],
+                [r[2] for r in keep],
+            ))
+            pending = [r for r in keep if r[0] >= wm_us]
+            if pending:
+                # fire when the watermark passes the earliest pending
+                # event so its adjacency finalizes even if this key
+                # never receives another row
+                state.setTimeoutTimestamp(pending[0][0] // 1000 + 1)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return _fn
+
+
+def pattern_match_stream(events: DataFrame, first_type: str, second_type: str,
+                         max_gap_s: int,
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Streaming CEP adjacency (the event-time twin of
+    operators/cep.adjacent_pairs): per-user, emit (first_ts, second_ts)
+    whenever an event of ``first_type`` is IMMEDIATELY followed by one
+    of ``second_type`` within ``max_gap_s`` — with out-of-order arrival
+    handled by buffering and watermark-driven finalization.
+
+    An adjacency is only decidable once no event can still arrive
+    between the two rows, i.e. once the second row drops below the
+    event-time watermark; the operator buffers per-key events above the
+    watermark (state bounded by horizon x per-key event rate), emits
+    matches from the finalized prefix, retains the last finalized event
+    as a potential pattern head, and arms an event-time timeout so
+    finalization happens even for keys that stop receiving data. Late
+    events (below the watermark on arrival) are dropped — identical
+    late-data semantics to the windowed aggregations. Emission contract
+    (what the q74 oracle replays): exactly the pairs whose second event
+    time is strictly below the final watermark (max event time - delay)."""
+    return (
+        events.select("user_id", "ts", "event_type", "event_id")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pattern_fn_factory(first_type, second_type, max_gap_s),
+            outputStructType=PATTERN_OUTPUT_SCHEMA,
+            stateStructType=PATTERN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 try:  # Spark 4 arbitrary-state v2 API (transformWithStateInPandas)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
