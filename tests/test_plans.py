@@ -160,3 +160,26 @@ def test_dedup_clusters_plan_is_keyed_joins_only(spark):
     # must NOT embed the whole iterative join tree
     assert "ExistingRDD" in plan or "Scan" in plan
     assert plan.count("Join") <= 1, plan
+
+
+def test_funnel_is_single_sort_single_exchange(spark):
+    """q72 funnel: the k cumulative-min window columns share ONE
+    partitioning (user_id) and ONE ordering (ts, event_id), so the
+    physical plan must contain exactly one window-input Exchange+Sort
+    chain plus the final aggregation exchange — a second Sort or a
+    third Exchange would mean the chained windows failed to reuse the
+    keyed sort (the whole point of the one-pass funnel)."""
+    plan = _plan(entrymod.queries()["q72_funnel"](spark, SF))
+    n_sorts = plan.count("+- Sort ") + plan.count("+- *Sort ") \
+        + sum(1 for ln in plan.splitlines() if ln.strip().startswith("Sort "))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert plan.count("Window") >= 3          # the three chained mins
+    assert n_sorts <= 1, plan                 # one keyed sort, reused
+    assert n_exchange <= 2, plan              # window input + final agg
+
+
+def test_adjacent_pattern_is_single_window_pass(spark):
+    """q73: one lag() pass — exactly one Exchange, one Sort, no join."""
+    plan = _plan(entrymod.queries()["q73_adjacent_pattern"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
