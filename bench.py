@@ -264,7 +264,9 @@ def _finish(spark, timings, extras, cores):
                      # never all-pairs) — these are the 100 TB operating
                      # points, so their wall-clock belongs in the record
                      "q44_lsh_ann_candidates", "q45_near_dup_pairs",
-                     "q59_dedup_clusters"]:
+                     "q59_dedup_clusters",
+                     # round-4 additions: corpus quality gates + CEP
+                     "q70_quality_rules", "q72_funnel"]:
             t0 = time.time()
             q[name](spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)
