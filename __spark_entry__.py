@@ -836,6 +836,28 @@ def _q74_stream_pattern(spark, sf: str) -> DataFrame:
     )
 
 
+def _q75_stream_funnel(spark, sf: str) -> DataFrame:
+    """STREAMING k-step funnel (update mode): per-user greedy chain
+    advanced as events finalize below the watermark
+    (streaming/state.funnel_stream). Level/t_complete are non-decreasing
+    across emissions, so the final record per key == max over updates ==
+    the batch funnel over exactly the events below the final watermark —
+    which is what the oracle replays (q72's SQL on the watermark-
+    filtered event set)."""
+    from watermark_detector_spark.streaming.state import funnel_stream
+
+    src, _ = _events_stream(spark, sf)
+    fu = funnel_stream(src, ["view", "click", "purchase"], within_s=86400,
+                       watermark="30 minutes")
+    name = "wmd_q75_" + uuid.uuid4().hex[:8]
+    _run_to_memory(fu, name, "update")
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("funnel_level").cast("int").alias("funnel_level"),
+        F.date_format(F.min("t_start"), _TS_FMT_SPARK).alias("t_start"),
+        F.date_format(F.max("t_complete"), _TS_FMT_SPARK).alias("t_complete"),
+    )
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1302,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_funnel": _q72_funnel,
         "q73_adjacent_pattern": _q73_adjacent_pattern,
         "q74_stream_pattern": _q74_stream_pattern,
+        "q75_stream_funnel": _q75_stream_funnel,
         # -- previously driver-certified (green in r01-r03), cheapest-first --
         "q01_filter_project": _q01_filter_project,
         "q02_groupby_agg": _q02_groupby_agg,
@@ -1939,6 +1962,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE first_type = 'click' AND second_type = 'purchase'
               AND second_ts <= first_ts + INTERVAL 3600 SECOND
               AND epoch_us(second_ts) < wm.wm_us
+        """,
+        "q75_stream_funnel": f"""
+            WITH wm AS (
+              SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS wm_us
+              FROM events),
+            fin AS (
+              SELECT e.* FROM events e, wm WHERE epoch_us(e.ts) < wm.wm_us),
+            s0 AS (
+              SELECT user_id, ts, event_type, event_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS m0
+              FROM fin),
+            s1 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND m0 < ts THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS m1
+              FROM s0),
+            s2 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' AND m1 < ts THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS m2
+              FROM s1),
+            agg AS (SELECT user_id, min(m0) AS t0, min(m1) AS t1, min(m2) AS t2
+                    FROM s2 GROUP BY 1),
+            lvl AS (
+              SELECT user_id, t0, t1, t2,
+                     (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t1 IS NOT NULL
+                               AND t1 <= t0 + INTERVAL 86400 SECOND
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN t2 IS NOT NULL
+                               AND t2 <= t0 + INTERVAL 86400 SECOND
+                             THEN 1 ELSE 0 END) AS funnel_level
+              FROM agg)
+            SELECT user_id, CAST(funnel_level AS INT) AS funnel_level,
+                   strftime(t0, '{_TS_FMT_DUCK}') AS t_start,
+                   strftime(CASE WHEN funnel_level >= 3 THEN t2
+                                 WHEN funnel_level >= 2 THEN t1
+                                 ELSE t0 END, '{_TS_FMT_DUCK}') AS t_complete
+            FROM lvl WHERE funnel_level >= 1
         """,
         "q73_adjacent_pattern": """
             WITH l AS (

@@ -640,3 +640,65 @@ def test_pattern_match_stream_semantics(spark, tmp_path_factory):
     got = [(r["user_id"], r["first_ts"], r["second_ts"])
            for r in spark.table("cep_pattern_test").collect()]
     assert got == [(1, T(0, 0), T(0, 5))], got
+
+
+def test_funnel_stream_semantics(spark, tmp_path_factory):
+    """Streaming k-step funnel: greedy chain advances only over
+    FINALIZED (below-watermark) events in event-time order, the window
+    cut limits the level, a late step event is dropped and cannot
+    deepen the chain, and the final update per key equals the batch
+    funnel over the finalized events."""
+    from datetime import datetime
+
+    from watermark_detector_spark.streaming.state import funnel_stream
+
+    T = lambda m, s: datetime(2024, 1, 1, 10, m, s)
+    root = tmp_path_factory.mktemp("funnel_stream")
+    src_dir = root / "src"
+    src_dir.mkdir()
+    batches = [
+        # b1: chains begin
+        [(1, T(0, 0), 1, "view"), (2, T(0, 10), 1, "click"),
+         (3, T(0, 0), 2, "view"), (4, T(0, 5), 2, "purchase"),   # no click
+         (5, T(0, 0), 3, "view"), (6, T(0, 20), 3, "click"),
+         (7, T(0, 15), 3, "purchase"),   # purchase BEFORE click in event time
+         (8, T(0, 0), 4, "view"), (9, T(0, 45), 4, "click"),     # outside 30 s
+         (10, T(0, 0), 5, "view")],
+        # b2: u1 completes; u9 error advances the watermark
+        [(11, T(0, 20), 1, "purchase"), (12, T(2, 0), 9, "error")],
+        # b3: u5's click is LATE (wm is 10:01:00 now) -> dropped;
+        # u9 advances the watermark past every real event
+        [(13, T(0, 30), 5, "click"), (14, T(6, 0), 9, "error")],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(src_dir / f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    fu = funnel_stream(stream, ["view", "click", "purchase"], within_s=30,
+                       watermark="1 minute")
+    q = (fu.writeStream.outputMode("update").format("memory")
+         .queryName("funnel_stream_test")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = {}
+    for r in spark.table("funnel_stream_test").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["funnel_level"] > cur["funnel_level"]:
+            final[r["user_id"]] = r
+    got = {u: (r["funnel_level"], r["t_start"], r["t_complete"])
+           for u, r in final.items()}
+    assert got == {
+        1: (3, T(0, 0), T(0, 20)),
+        2: (1, T(0, 0), T(0, 0)),      # purchase can't skip the click step
+        3: (2, T(0, 0), T(0, 20)),     # purchase precedes click: not counted
+        4: (1, T(0, 0), T(0, 0)),      # click outside the 30 s window
+        5: (1, T(0, 0), T(0, 0)),      # late click dropped
+    }, got

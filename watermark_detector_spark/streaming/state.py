@@ -257,6 +257,120 @@ def pattern_match_stream(events: DataFrame, first_type: str, second_type: str,
     )
 
 
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("funnel_level", T.IntegerType(), False),
+        T.StructField("t_start", T.TimestampType(), False),
+        T.StructField("t_complete", T.TimestampType(), False),
+    ]
+)
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("chain_us", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_ts_us", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_types", T.ArrayType(T.StringType()), True),
+        T.StructField("buf_ids", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+_UNSET = -1
+
+
+def _funnel_stream_fn_factory(steps: list[str], within_s: int):
+    horizon_us = within_s * _US
+    k = len(steps)
+
+    def _fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            chain_l, ts_l, ty_l, id_l = state.get
+            chain = [int(c) for c in chain_l]
+            buf = [(int(t), str(y), int(i))
+                   for t, y, i in zip(ts_l, ty_l, id_l)]
+        else:
+            chain = [_UNSET] * k
+            buf = []
+        if not state.hasTimedOut:
+            chunks = [p for p in pdf_iter if len(p)]
+            if chunks:
+                rows = pd.concat(chunks, ignore_index=True)
+                for ts, ty, eid in zip(rows["ts"], rows["event_type"],
+                                       rows["event_id"]):
+                    t_us = int(pd.Timestamp(ts).value // 1000)
+                    if t_us >= wm_us:  # below-watermark arrivals are late
+                        buf.append((t_us, str(ty), int(eid)))
+        buf.sort(key=lambda r: (r[0], r[2]))
+        # advance the greedy chain over the FINALIZED prefix, in event-
+        # time order — identical to the batch funnel restricted to
+        # events below the final watermark
+        changed = False
+        pending = []
+        for t_us, ty, eid in buf:
+            if t_us >= wm_us:
+                pending.append((t_us, ty, eid))
+                continue
+            for i in range(k):
+                if chain[i] == _UNSET:
+                    if ty == steps[i] and (i == 0 or (chain[i - 1] != _UNSET
+                                                      and chain[i - 1] < t_us)):
+                        chain[i] = t_us
+                        changed = True
+                    break  # only the next unset step can advance
+        if chain[0] == _UNSET and not pending:
+            state.remove()
+        else:
+            state.update((
+                chain,
+                [r[0] for r in pending],
+                [r[1] for r in pending],
+                [r[2] for r in pending],
+            ))
+            if pending:
+                state.setTimeoutTimestamp(pending[0][0] // 1000 + 1)
+        if changed and chain[0] != _UNSET:
+            level, t_complete = 0, chain[0]
+            for i in range(k):
+                if chain[i] == _UNSET or chain[i] - chain[0] > horizon_us:
+                    break
+                level, t_complete = i + 1, chain[i]
+            yield pd.DataFrame(
+                [{"user_id": user, "funnel_level": level,
+                  "t_start": pd.Timestamp(chain[0], unit="us"),
+                  "t_complete": pd.Timestamp(t_complete, unit="us")}]
+            )
+
+    return _fn
+
+
+def funnel_stream(events: DataFrame, steps: list[str], within_s: int,
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Streaming k-step funnel (the event-time twin of
+    operators/cep.funnel): per-user greedy-earliest chain over the step
+    sequence, advanced incrementally as events FINALIZE (drop below the
+    event-time watermark) so out-of-order arrival cannot corrupt the
+    greedy order. Emits an UPDATED (level, t_start, t_complete) record
+    whenever newly finalized events extend the chain — update output
+    mode; the latest record per key equals the batch funnel computed
+    over exactly the events below the final watermark (the q75 oracle
+    replays that). Buffered state is bounded by the watermark horizon x
+    per-key event rate; chain state is k longs. Late events drop with
+    the same semantics as the windowed aggregations."""
+    return (
+        events.select("user_id", "ts", "event_type", "event_id")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_stream_fn_factory(list(steps), within_s),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 try:  # Spark 4 arbitrary-state v2 API (transformWithStateInPandas)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
