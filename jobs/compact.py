@@ -7,7 +7,8 @@ streaming sink commits a few files per trigger.
 
 Usage:
   spark-submit --py-files dist/watermark_detector_spark.zip \
-    jobs/compact.py --sink <root> [--output-partitions 8] [--no-vacuum]
+    jobs/compact.py --sink <root> [--output-partitions 8] [--no-vacuum] \
+        [--sort-by col1,col2]
 """
 
 from __future__ import annotations
@@ -27,6 +28,10 @@ def main() -> None:
     ap.add_argument("--no-vacuum", action="store_true")
     ap.add_argument("--retention-s", type=float, default=300.0,
                     help="concurrent-reader grace window before GC")
+    ap.add_argument("--sort-by", default=None,
+                    help="comma-separated cluster keys: range-partition + "
+                         "sort-within-file rewrite so parquet min/max "
+                         "stats prune whole files on key predicates")
     args = ap.parse_args()
 
     from watermark_detector_spark.session import get_spark
@@ -35,7 +40,9 @@ def main() -> None:
     spark = get_spark(app_name="wmd-compact")
     sink = ExactlyOnceParquetSink(args.sink, vacuum_retention_s=args.retention_s)
     entries = sink.compact(spark, output_partitions=args.output_partitions,
-                           vacuum=not args.no_vacuum)
+                           vacuum=not args.no_vacuum,
+                           sort_cols=(args.sort_by.split(",")
+                                      if args.sort_by else None))
     print(json.dumps({
         "sink": args.sink,
         "compacted_ranges": entries,

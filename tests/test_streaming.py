@@ -702,3 +702,42 @@ def test_funnel_stream_semantics(spark, tmp_path_factory):
         4: (1, T(0, 0), T(0, 0)),      # click outside the 30 s window
         5: (1, T(0, 0), T(0, 0)),      # late click dropped
     }, got
+
+
+def test_compact_sort_clustered_rewrite(spark, tmp_path_factory):
+    """compact(sort_cols=...): the rewrite range-partitions on the
+    cluster key and sorts within each file, so every output file owns a
+    DISJOINT key range (parquet footer min/max prunes whole files on
+    key predicates) — while content, ledger, and replay-no-op semantics
+    are identical to the plain rewrite."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path_factory.mktemp("sink_sorted") / "sink")
+    sink = ExactlyOnceParquetSink(root, output_partitions=4,
+                                  vacuum_retention_s=0)
+    # batches deliberately interleave the key space so only a sorted
+    # rewrite can produce disjoint per-file ranges
+    for b in range(4):
+        sink.write_batch(
+            spark.range(b, 400, 4).withColumnRenamed("id", "v"), b)
+    before = sorted(r["v"] for r in sink.read(spark).collect())
+
+    entries = sink.compact(spark, sort_cols=["v"])
+    assert entries and entries[0]["n_rows"] == 400
+    assert sorted(r["v"] for r in sink.read(spark).collect()) == before
+    data_dir = os.path.join(root, "data", "compact_0-3")
+    ranges = []
+    for f in sorted(os.listdir(data_dir)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(data_dir, f), columns=["v"])
+            if t.num_rows:
+                vs = t.column("v").to_pylist()
+                assert vs == sorted(vs), f  # sorted within file
+                ranges.append((vs[0], vs[-1]))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint key ranges across files
+    # exactly-once unaffected: replay of a folded batch is still a no-op
+    sink.write_batch(spark.range(99).withColumnRenamed("id", "v"), 2)
+    assert sorted(r["v"] for r in sink.read(spark).collect()) == before

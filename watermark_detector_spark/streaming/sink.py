@@ -288,7 +288,8 @@ class ExactlyOnceParquetSink:
 
     # -- maintenance: small-file compaction (snapshot rewrite) -------------
     def compact(self, spark: SparkSession, output_partitions: int | None = None,
-                vacuum: bool = True) -> list[dict]:
+                vacuum: bool = True,
+                sort_cols: list[str] | None = None) -> list[dict]:
         """Fold every currently-uncovered CONTIGUOUS run of per-batch
         commits (>= 2 batches) into a range manifest over rewritten data
         files — one manifest per run, so gaps in the id sequence (a
@@ -320,8 +321,19 @@ class ExactlyOnceParquetSink:
             src = [os.path.join(self.data_dir, f"batch_id={b}") for b in run]
             out = os.path.join(self.data_dir, f"compact_{lo}-{hi}")
             df = spark.read.parquet(*src)
-            df.coalesce(output_partitions or self.output_partitions or 8) \
-                .write.mode("overwrite").parquet(out)
+            n_out = output_partitions or self.output_partitions or 8
+            if sort_cols:
+                # sort-clustered rewrite (Iceberg rewrite_data_files with
+                # a sort strategy): range-partition on the cluster keys,
+                # sort within each file, so every output file owns a
+                # DISJOINT key range and parquet footer min/max stats
+                # prune whole files for key-predicated reads — the data
+                # layout that makes a 100 TB table scannable by key
+                df = (df.repartitionByRange(n_out, *sort_cols)
+                      .sortWithinPartitions(*sort_cols))
+                df.write.mode("overwrite").parquet(out)
+            else:
+                df.coalesce(n_out).write.mode("overwrite").parquet(out)
             files = sorted(f for f in fs.listdir(out) if f.endswith(".parquet"))
             n_rows = sum(fs.parquet_rows(os.path.join(out, f)) for f in files)
             entry = {
