@@ -858,6 +858,33 @@ def _q75_stream_funnel(spark, sf: str) -> DataFrame:
     )
 
 
+def _q76_hash_split(spark, sf: str) -> DataFrame:
+    """Deterministic train/val/test split (never rand(): md5-bucket of
+    the doc key, stable across runs/engines/partitionings) — the
+    reproducible-split operator every corpus pipeline needs. Returns
+    per-split count + mean n_chars (operators/sampling.hash_split)."""
+    from watermark_detector_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf, "documents")
+    return (
+        hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+def _q77_domain_cap(spark, sf: str) -> DataFrame:
+    """Per-key quota cap (head-domain throttling): keep at most 40 docs
+    per source by deterministic doc_id rank — one keyed window pass
+    (operators/sampling.domain_cap). Returns the kept (doc_id, source)."""
+    from watermark_detector_spark.operators.sampling import domain_cap
+
+    d = _t(spark, sf, "documents")
+    return domain_cap(d, cap=40, key_col="source",
+                      order_col="doc_id").select("doc_id", "source")
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1325,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_adjacent_pattern": _q73_adjacent_pattern,
         "q74_stream_pattern": _q74_stream_pattern,
         "q75_stream_funnel": _q75_stream_funnel,
+        "q76_hash_split": _q76_hash_split,
+        "q77_domain_cap": _q77_domain_cap,
         # -- previously driver-certified (green in r01-r03), cheapest-first --
         "q01_filter_project": _q01_filter_project,
         "q02_groupby_agg": _q02_groupby_agg,
@@ -2003,6 +2032,30 @@ def oracle_sql() -> dict[str, str]:
                                  WHEN funnel_level >= 2 THEN t1
                                  ELSE t0 END, '{_TS_FMT_DUCK}') AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q76_hash_split": """
+            WITH b AS (
+              SELECT n_chars,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS bucket
+              FROM documents),
+            s AS (
+              SELECT n_chars,
+                     CASE WHEN bucket < 9000 THEN 'train'
+                          WHEN bucket < 9500 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM b)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM s GROUP BY split
+        """,
+        "q77_domain_cap": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents)
+            SELECT doc_id, source FROM r WHERE rn <= 40
         """,
         "q73_adjacent_pattern": """
             WITH l AS (

@@ -746,3 +746,32 @@ def test_adjacent_pairs_strict_adjacency(spark):
     assert [(r["user_id"], r["first_ts"], r["second_ts"]) for r in got] == [
         (1, T(0), T(5))
     ]
+
+
+def test_hash_split_deterministic_and_weighted(spark):
+    """hash_split: identical assignment under any partitioning (never
+    rand()), every row labeled, weights approximately honored."""
+    from watermark_detector_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df.repartition(1), w).toPandas().sort_values("doc_id")
+    b = hash_split(df.repartition(16), w).toPandas().sort_values("doc_id")
+    assert (a["split"].values == b["split"].values).all()
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+
+
+def test_domain_cap_quota(spark):
+    """domain_cap keeps exactly min(cap, n) rows per key, the
+    deterministically-first ones by order_col."""
+    from watermark_detector_spark.operators.sampling import domain_cap
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(df, cap=10, key_col="source", order_col="doc_id").toPandas()
+    by = out.groupby("source")["doc_id"].apply(sorted).to_dict()
+    assert by["big"] == list(range(10))        # first 10 by doc_id
+    assert by["small"] == [1000, 1001, 1002]   # under quota: untouched

@@ -1,0 +1,63 @@
+"""Deterministic sampling / quota operators for corpus construction:
+hash-bucket train/val/test splits and per-key quota caps.
+
+Corpus pipelines must never use `rand()` for splits — re-runs would
+reshuffle documents across train/val/test (leakage across checkpoints,
+irreproducible evals). Both operators here are pure functions of the
+data: the split is an md5-bucket of the key (stable across runs,
+engines, and partitionings — which is also what makes them
+DuckDB-oracle-able), and the quota cap is a rank over a deterministic
+ordering. Both are single-shuffle shapes at 10^12 rows: the split is
+shuffle-FREE (a scan-side column), the cap is one keyed window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Stable bucket in [0, n_buckets): first 8 hex chars of
+    md5(str(key)) mod n_buckets. Engine-portable (md5 of UTF-8 bytes)."""
+    h = F.md5(key.cast("string").cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+            % n_buckets)
+
+
+def hash_split(df: DataFrame, weights: dict[str, float],
+               key_col: str = "doc_id",
+               split_col: str = "split") -> DataFrame:
+    """Assign every row a deterministic split label with the given
+    weights (must sum to ~1; resolution 1/N_BUCKETS). Rows ride the
+    scan — no shuffle, no rand(), stable under re-runs and
+    repartitioning, so eval membership can never drift between
+    pipeline executions."""
+    bucket = hash_bucket(F.col(key_col))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * N_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def domain_cap(df: DataFrame, cap: int, key_col: str = "source",
+               order_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen by the deterministic
+    ``order_col`` ranking — the head-domain quota every web-scale
+    corpus applies so a handful of giant hosts can't dominate training
+    data. One keyed window pass (rank + filter), no join."""
+    w = W.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
