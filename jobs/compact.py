@@ -41,7 +41,8 @@ def main() -> None:
     sink = ExactlyOnceParquetSink(args.sink, vacuum_retention_s=args.retention_s)
     entries = sink.compact(spark, output_partitions=args.output_partitions,
                            vacuum=not args.no_vacuum,
-                           sort_cols=(args.sort_by.split(",")
+                           sort_cols=([c.strip() for c in args.sort_by.split(",")
+                                       if c.strip()]
                                       if args.sort_by else None))
     print(json.dumps({
         "sink": args.sink,

@@ -114,7 +114,10 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         # >=6-token run is caught), then anti-join on the flagged ids
         from watermark_detector_spark.operators.dedup import contaminated_ids
 
-        flagged = contaminated_ids(curated, holdout).select("doc_id")
+        # persist: the fingerprint+join lineage (the most expensive new
+        # stage) would otherwise run twice — once for this count and
+        # again when the anti-join materializes at write time
+        flagged = contaminated_ids(curated, holdout).select("doc_id").persist()
         n_flagged = flagged.count()
         curated = curated.join(flagged, "doc_id", "left_anti")
     if out is not None:
@@ -123,6 +126,8 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
     else:
         curated = curated.localCheckpoint(eager=True)
     exact.unpersist()
+    if holdout is not None:
+        flagged.unpersist()
     final = curated.count()
     if holdout is not None:
         stats["after_near_dedup"] = final + n_flagged

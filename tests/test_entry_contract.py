@@ -14,9 +14,12 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 
+# the SAME canonicalization the full-suite artifact CLI applies — one
+# implementation, so the test gate and CORRECTNESS_FULL.json can never
+# silently diverge on tolerance/typing rules
+from jobs.correctness import TABLES, _canon  # noqa: E402
+
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
@@ -30,18 +33,6 @@ def duck():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
-
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype(float)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def _assert_equal(got: pd.DataFrame, want: pd.DataFrame, name: str):

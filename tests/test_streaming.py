@@ -741,3 +741,53 @@ def test_compact_sort_clustered_rewrite(spark, tmp_path_factory):
     # exactly-once unaffected: replay of a folded batch is still a no-op
     sink.write_batch(spark.range(99).withColumnRenamed("id", "v"), 2)
     assert sorted(r["v"] for r in sink.read(spark).collect()) == before
+
+
+def test_pattern_match_stream_expires_dead_heads(spark, tmp_path_factory):
+    """A retained head whose pairing window the watermark has passed is
+    EVICTED (state bounded by horizon, not by total keys ever seen):
+    u1's lone click can never match once wm > click+gap, so its state
+    row must disappear from the store."""
+    from datetime import datetime
+
+    from watermark_detector_spark.streaming.state import pattern_match_stream
+
+    T = lambda m, s: datetime(2024, 1, 1, 10, m, s)
+    root = tmp_path_factory.mktemp("cep_expiry")
+    src_dir = root / "src"
+    src_dir.mkdir()
+    batches = [
+        [(1, T(0, 0), 1, "click"), (2, T(0, 30), 9, "error")],
+        [(3, T(5, 0), 9, "error")],   # wm -> 10:04:00: u1 head expired
+        [(4, T(10, 0), 9, "error")],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(src_dir / f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    pm = pattern_match_stream(stream, "click", "purchase", max_gap_s=60,
+                              watermark="1 minute")
+    q = (pm.writeStream.outputMode("append").format("memory")
+         .queryName("cep_expiry_test")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("cep_expiry_test").count() == 0
+    import json as _json
+
+    state_rows = []
+    for pr in q.recentProgress:
+        d = pr if isinstance(pr, dict) else _json.loads(pr.json)
+        ops = d.get("stateOperators") or []
+        if ops:
+            state_rows.append(ops[0]["numRowsTotal"])
+    # final store holds only u9's still-pending buffer entry — u1's
+    # dead head was evicted, not retained forever
+    assert state_rows and state_rows[-1] == 1, state_rows

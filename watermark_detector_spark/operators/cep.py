@@ -103,7 +103,7 @@ def adjacent_pairs(df: DataFrame, first: str, second: str, max_gap_s: int,
     adjacency CEP primitive). One lag() over the keyed sort."""
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
     w = W.partitionBy(key_col).orderBy(*order)
-    lagged = df.select(key_col, ts_col, type_col, *tiebreak_cols).select(
+    lagged = df.select(
         key_col,
         F.col(ts_col).alias("second_ts"),
         F.col(type_col).alias("second_type"),

@@ -203,20 +203,36 @@ def _pattern_fn_factory(first_type: str, second_type: str, max_gap_s: int):
                             "first_ts": pd.Timestamp(a[0], unit="us"),
                             "second_ts": pd.Timestamp(b[0], unit="us")})
         keep = buf[max(0, n_final - 1):]
-        if keep:
+        pending = [r for r in keep if r[0] >= wm_us]
+        if not keep:
+            state.remove()
+        elif pending:
             state.update((
                 [r[0] for r in keep],
                 [r[1] for r in keep],
                 [r[2] for r in keep],
             ))
-            pending = [r for r in keep if r[0] >= wm_us]
-            if pending:
-                # fire when the watermark passes the earliest pending
-                # event so its adjacency finalizes even if this key
-                # never receives another row
-                state.setTimeoutTimestamp(pending[0][0] // 1000 + 1)
+            # fire when the watermark passes the earliest pending
+            # event so its adjacency finalizes even if this key
+            # never receives another row
+            state.setTimeoutTimestamp(pending[0][0] // 1000 + 1)
         else:
-            state.remove()
+            # only the retained head remains. It can only ever be the
+            # FIRST of a future pair, and any future event has
+            # ts >= watermark — so once the watermark passes
+            # head + max_gap no match is possible and keeping the entry
+            # would leak one state row per inactive key forever (the
+            # bounded-state claim). Expire it on that boundary.
+            expiry_ms = (keep[0][0] + gap_us) // 1000 + 1
+            if expiry_ms * 1000 <= wm_us:
+                state.remove()
+            else:
+                state.update((
+                    [r[0] for r in keep],
+                    [r[1] for r in keep],
+                    [r[2] for r in keep],
+                ))
+                state.setTimeoutTimestamp(expiry_ms)
         if out:
             yield pd.DataFrame(out)
 
