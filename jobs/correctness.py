@@ -48,7 +48,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(float)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    # Sort on floats ROUNDED to the comparison tolerance (1e-9), non-
+    # float columns first: raw float sort keys would let sub-tolerance
+    # cross-engine jitter permute rows that tie on every other column,
+    # turning a value-equal result into a spurious mismatch.
+    keys = df.copy()
+    float_cols = [c for c in keys.columns
+                  if pd.api.types.is_float_dtype(keys[c])]
+    for c in float_cols:
+        keys[c] = keys[c].round(9)
+    order = ([c for c in keys.columns if c not in float_cols]
+             + float_cols)
+    return df.loc[keys.sort_values(order).index].reset_index(drop=True)
 
 
 def _values_match(got: pd.DataFrame, want: pd.DataFrame) -> bool:

@@ -764,6 +764,26 @@ def test_hash_split_deterministic_and_weighted(spark):
     assert abs(frac["test"] - 0.1) < 0.02
 
 
+def test_hash_split_rejects_bad_weights(spark):
+    """A typo'd weight dict must fail loudly at call time, not silently
+    dump the remainder into the last split; NULL keys deterministically
+    land in the LAST split (documented behavior)."""
+    import pytest as _pytest
+
+    from watermark_detector_spark.operators.sampling import hash_split
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    for bad in [{"train": 0.8, "val": 0.1},          # sums to 0.9
+                {"train": 1.2, "val": -0.2},          # negative
+                {}]:
+        with _pytest.raises(ValueError):
+            hash_split(df, bad)
+    nulls = spark.createDataFrame([(None,), (7,)], "doc_id long")
+    out = {r["doc_id"]: r["split"]
+           for r in hash_split(nulls, {"train": 0.9, "test": 0.1}).collect()}
+    assert out[None] == "test"      # NULL key -> last split, every run
+
+
 def test_domain_cap_quota(spark):
     """domain_cap keeps exactly min(cap, n) rows per key, the
     deterministically-first ones by order_col."""

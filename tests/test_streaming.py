@@ -791,3 +791,60 @@ def test_pattern_match_stream_expires_dead_heads(spark, tmp_path_factory):
     # final store holds only u9's still-pending buffer entry — u1's
     # dead head was evicted, not retained forever
     assert state_rows and state_rows[-1] == 1, state_rows
+
+
+def test_funnel_stream_ttl_reclaims_inactive_keys(spark, tmp_path_factory):
+    """funnel_stream(state_ttl_s=...): a key whose chain started but
+    that has seen no pending events for state_ttl_s of event time is
+    REMOVED from the store (opt-in chain-restart semantics); without
+    the option chain state lives for the query lifetime by contract."""
+    from datetime import datetime
+
+    from watermark_detector_spark.streaming.state import funnel_stream
+
+    T = lambda m, s: datetime(2024, 1, 1, 10, m, s)
+    root = tmp_path_factory.mktemp("funnel_ttl")
+    src_dir = root / "src"
+    src_dir.mkdir()
+    batches = [
+        # u1 starts a chain and goes silent; u9's non-step events only
+        # drive the watermark (and leave no state of their own once
+        # consumed with an empty chain)
+        [(1, T(0, 0), 1, "click"), (2, T(0, 30), 9, "view")],
+        [(3, T(5, 0), 9, "view")],    # wm->10:04: u1 click finalizes,
+        #                               level-1 emitted, TTL timer armed
+        [(4, T(10, 0), 9, "view")],   # wm->10:09 > ttl timer: u1 removed
+        [(5, T(15, 0), 9, "view")],   # observe the post-removal store
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(src_dir / f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    fu = funnel_stream(stream, ["click", "purchase"], within_s=3600,
+                       watermark="1 minute", state_ttl_s=60)
+    q = (fu.writeStream.outputMode("update").format("memory")
+         .queryName("funnel_ttl_test")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # u1's partial chain still emitted before expiry
+    rows = spark.table("funnel_ttl_test").collect()
+    assert {(r["user_id"], r["funnel_level"]) for r in rows} == {(1, 1)}
+    import json as _json
+
+    state_rows = []
+    for pr in q.recentProgress:
+        d = pr if isinstance(pr, dict) else _json.loads(pr.json)
+        ops = d.get("stateOperators") or []
+        if ops:
+            state_rows.append(ops[0]["numRowsTotal"])
+    # final store: only u9's still-pending 10:15 event — u1's expired
+    # chain row is gone (would be 2 without the TTL)
+    assert state_rows and state_rows[-1] == 1, state_rows

@@ -35,7 +35,22 @@ def hash_split(df: DataFrame, weights: dict[str, float],
     weights (must sum to ~1; resolution 1/N_BUCKETS). Rows ride the
     scan — no shuffle, no rand(), stable under re-runs and
     repartitioning, so eval membership can never drift between
-    pipeline executions."""
+    pipeline executions.
+
+    ``weights`` must sum to 1 within the bucket resolution (a typo'd
+    dict would otherwise silently dump the remainder into the last
+    split). Rows with a NULL ``key_col`` hash to NULL, fail every
+    ``when`` threshold, and land in the LAST split — deterministic,
+    but usually a data bug, so it is documented rather than hidden."""
+    if not weights:
+        raise ValueError("hash_split: weights must be non-empty")
+    if any(v < 0 for v in weights.values()):
+        raise ValueError(f"hash_split: negative weight in {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) >= 1.0 / N_BUCKETS:
+        raise ValueError(
+            f"hash_split: weights sum to {total!r}, expected 1.0 "
+            f"(±{1.0 / N_BUCKETS})")
     bucket = hash_bucket(F.col(key_col))
     expr = None
     cum = 0.0

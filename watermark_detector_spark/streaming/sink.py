@@ -406,7 +406,11 @@ class ExactlyOnceParquetSink:
         which would make a directory-status retention gate pass
         immediately and let vacuum delete a concurrent compactor's
         written-but-not-yet-published compact_* dir; the newest contained
-        file reflects actual write recency on every Hadoop FS scheme."""
+        file reflects actual write recency on every Hadoop FS scheme.
+        An EMPTY directory is treated as brand-new (now): a concurrent
+        compactor may have just created it and not yet written files,
+        and falling back to the directory's own status would reintroduce
+        the synthetic-mtime=0 hole this method exists to close."""
         fs = self.fs
         times = [fs.mtime(os.path.join(d, f)) for f in fs.listdir(d)]
-        return max(times) if times else fs.mtime(d)
+        return max(times) if times else time.time()

@@ -293,7 +293,8 @@ FUNNEL_STATE_SCHEMA = T.StructType(
 _UNSET = -1
 
 
-def _funnel_stream_fn_factory(steps: list[str], within_s: int):
+def _funnel_stream_fn_factory(steps: list[str], within_s: int,
+                              state_ttl_s: int | None = None):
     horizon_us = within_s * _US
     k = len(steps)
 
@@ -308,6 +309,13 @@ def _funnel_stream_fn_factory(steps: list[str], within_s: int):
         else:
             chain = [_UNSET] * k
             buf = []
+        if state.hasTimedOut and state_ttl_s is not None and not buf:
+            # TTL expiry: nothing pending arrived for state_ttl_s of
+            # event time — drop the chain (chain-restart semantics the
+            # caller opted into; a later event for this key starts a
+            # fresh chain at step 0).
+            state.remove()
+            return
         if not state.hasTimedOut:
             chunks = [p for p in pdf_iter if len(p)]
             if chunks:
@@ -345,6 +353,12 @@ def _funnel_stream_fn_factory(steps: list[str], within_s: int):
             ))
             if pending:
                 state.setTimeoutTimestamp(pending[0][0] // 1000 + 1)
+            elif state_ttl_s is not None:
+                # no pending work: arm the expiry timer so an inactive
+                # key's chain state is reclaimed after state_ttl_s of
+                # event time instead of living for the query lifetime
+                state.setTimeoutTimestamp(wm_us // 1000
+                                          + state_ttl_s * 1000)
         if changed and chain[0] != _UNSET:
             level, t_complete = 0, chain[0]
             for i in range(k):
@@ -361,7 +375,8 @@ def _funnel_stream_fn_factory(steps: list[str], within_s: int):
 
 
 def funnel_stream(events: DataFrame, steps: list[str], within_s: int,
-                  watermark: str = "30 minutes") -> DataFrame:
+                  watermark: str = "30 minutes",
+                  state_ttl_s: int | None = None) -> DataFrame:
     """Streaming k-step funnel (the event-time twin of
     operators/cep.funnel): per-user greedy-earliest chain over the step
     sequence, advanced incrementally as events FINALIZE (drop below the
@@ -371,14 +386,23 @@ def funnel_stream(events: DataFrame, steps: list[str], within_s: int,
     mode; the latest record per key equals the batch funnel computed
     over exactly the events below the final watermark (the q75 oracle
     replays that). Buffered state is bounded by the watermark horizon x
-    per-key event rate; chain state is k longs. Late events drop with
-    the same semantics as the windowed aggregations."""
+    per-key event rate; chain state is k longs PER KEY and — with the
+    default ``state_ttl_s=None`` — is retained for the QUERY LIFETIME,
+    i.e. unbounded in the number of distinct keys. That retention is
+    what the greedy-earliest/batch-equivalence contract requires (a key
+    silent for a month may still extend its chain later), so it is the
+    default; callers running unbounded-cardinality streams who accept
+    chain-RESTART semantics can pass ``state_ttl_s`` to reclaim state
+    for keys inactive (no pending events) for that much event time —
+    a later event for an expired key starts a fresh chain at step 0,
+    exactly the expiry-timer design of pattern_match_stream. Late
+    events drop with the same semantics as the windowed aggregations."""
     return (
         events.select("user_id", "ts", "event_type", "event_id")
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _funnel_stream_fn_factory(list(steps), within_s),
+            _funnel_stream_fn_factory(list(steps), within_s, state_ttl_s),
             outputStructType=FUNNEL_OUTPUT_SCHEMA,
             stateStructType=FUNNEL_STATE_SCHEMA,
             outputMode="update",
