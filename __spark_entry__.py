@@ -885,6 +885,75 @@ def _q77_domain_cap(spark, sf: str) -> DataFrame:
                       order_col="doc_id").select("doc_id", "source")
 
 
+def _q78_gopher_gates(spark, sf: str) -> DataFrame:
+    """Document-level Gopher gates (Rae et al. 2021 §A1.1, the half q70
+    doesn't cover): word-count bounds, alphabetic-word fraction,
+    stop-word minimum, bullet/ellipsis line ratios + composite keep.
+    All codegen'd scalar expressions — zero shuffle. Same ' a ' line
+    delimiter trick as q70 (fixture corpus has no newlines).
+    min_words=30 splits the fixture corpus so the gate is exercised in
+    both directions."""
+    from watermark_detector_spark.functions.text import gopher_gates
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("text"),
+    )
+    return gopher_gates(d, line_delim=" a ", min_words=30,
+                        min_stopwords=1)
+
+
+def _q79_c4_line_clean(spark, sf: str) -> DataFrame:
+    """C4 line-cleaning transform (Raffel et al. 2020 §2.2): drop lines
+    with < 4 words or containing a banned word ('slow' stands in for
+    C4's 'javascript' so the rule actually fires on the fixture vocab),
+    rebuild clean_text, flag docs with < 3 surviving lines. Pure
+    projection — the scan-side rewrite stage ahead of dedup/tokenize.
+    Terminal-punctuation rule off (fixture corpus has no punctuation);
+    it is exercised in tests/test_core.py."""
+    from watermark_detector_spark.functions.text import c4_clean
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("text"),
+    )
+    return c4_clean(d, line_delim=" a ", min_line_words=4,
+                    min_lines_kept=3, require_terminal_punct=False,
+                    banned_line_words=("slow",))
+
+
+def _q80_pii_scrub(spark, sf: str) -> DataFrame:
+    """PII scrub (emails / SSNs / phones / IPv4 -> typed tokens) +
+    per-kind counts. The fixture corpus contains no PII, so the query
+    deterministically APPENDS synthetic PII as a function of doc_id on
+    BOTH engines (email on every doc, ip on doc_id%3==0, phone on %4,
+    ssn on %5) — the scrub itself is what's under test, on varied
+    inputs. RE2-compatible patterns keep Java and DuckDB regex
+    semantics identical (functions/pii.py)."""
+    from watermark_detector_spark.functions.pii import scrub_pii
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com"),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit(" ip 10."), (did % 200).cast("string"),
+                            F.lit(".0.7"))).otherwise(F.lit("")),
+            F.when(did % 4 == 0,
+                   F.concat(F.lit(" call 555-010-"),
+                            F.lpad((did % 10000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 5 == 0,
+                   F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(aug)
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1325,6 +1394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     already has a green row in CORRECTNESS_r01..r03). jobs/correctness.py
     additionally writes a repo-local artifact covering ALL queries."""
     return {
+        # -- new this round (round 5): certify first --
+        "q78_gopher_gates": _q78_gopher_gates,
+        "q79_c4_line_clean": _q79_c4_line_clean,
+        "q80_pii_scrub": _q80_pii_scrub,
         # -- priority block: no driver CORRECTNESS row yet (batch first) --
         "q63_recursive_cte": _q63_recursive_cte,
         "q64_variant_json": _q64_variant_json,
@@ -2069,6 +2142,109 @@ def oracle_sql() -> dict[str, str]:
             FROM l
             WHERE first_type = 'click' AND second_type = 'purchase'
               AND second_ts <= first_ts + INTERVAL 3600 SECOND
+        """,
+        "q78_gopher_gates": """
+            WITH base AS (
+              SELECT doc_id, ' ' || text || ' ' AS ptext,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents),
+            l AS (
+              SELECT doc_id, toks,
+                     list_filter(list_transform(str_split(ptext, ' a '),
+                                                s -> trim(s)),
+                                 s -> s != '') AS lines
+              FROM base),
+            m AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                round(1.0 * len(list_filter(toks,
+                        t -> regexp_matches(t, '[A-Za-z]')))
+                      / greatest(len(toks), 1), 4) AS alpha_word_frac,
+                CAST(len(list_filter(toks,
+                        t -> list_contains(['the','be','to','of','and',
+                                            'that','have','with'],
+                                           lower(t)))) AS BIGINT)
+                  AS stopword_cnt,
+                round(1.0 * len(list_filter(lines,
+                        s -> starts_with(s, '•') OR starts_with(s, '-')
+                             OR starts_with(s, '*')))
+                      / greatest(len(lines), 1), 4) AS bullet_line_frac,
+                round(1.0 * len(list_filter(lines,
+                        s -> ends_with(s, '...') OR ends_with(s, '…')))
+                      / greatest(len(lines), 1), 4) AS ellipsis_line_frac
+              FROM l)
+            SELECT doc_id, n_words, alpha_word_frac, stopword_cnt,
+                   bullet_line_frac, ellipsis_line_frac,
+                   (n_words BETWEEN 30 AND 100000
+                    AND alpha_word_frac >= 0.80
+                    AND stopword_cnt >= 1
+                    AND bullet_line_frac <= 0.90
+                    AND ellipsis_line_frac <= 0.30) AS keep
+            FROM m
+        """,
+        "q79_c4_line_clean": """
+            WITH l AS (
+              SELECT doc_id, ' ' || text || ' ' AS ptext,
+                     list_filter(list_transform(
+                         str_split(' ' || text || ' ', ' a '),
+                         s -> trim(s)), s -> s != '') AS lines
+              FROM documents),
+            k AS (
+              SELECT doc_id, ptext, lines,
+                     list_filter(lines,
+                       s -> len(regexp_split_to_array(s, '\\s+')) >= 4
+                            AND NOT contains(lower(s), 'slow')) AS kept
+              FROM l)
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, ' a '), '')
+                     AS clean_text,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   (NOT contains(lower(ptext), 'lorem ipsum')
+                    AND NOT contains(lower(ptext), '{')
+                    AND len(kept) >= 3) AS keep
+            FROM k
+        """,
+        "q80_pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com'
+                       || CASE WHEN doc_id % 3 = 0
+                            THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                                 || '.0.7' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                            THEN ' call 555-010-'
+                                 || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                         4, '0') ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                            THEN ' ssn 123-45-6789' ELSE '' END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                    '<IP>', 'g') AS clean_text,
+                CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                  AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(text,
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+                CAST(len(regexp_extract_all(text,
+                    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT)
+                  AS n_phone,
+                CAST(len(regexp_extract_all(text,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                  AS BIGINT) AS n_ipv4
+              FROM aug)
+            SELECT doc_id, clean_text, n_email, n_ssn, n_phone, n_ipv4,
+                   (n_email + n_ssn + n_phone + n_ipv4 > 0) AS has_pii
+            FROM c
         """,
         "q70_quality_rules": """
             WITH base AS (

@@ -620,6 +620,93 @@ def test_gopher_symbol_ratio(spark):
     assert not row["keep"]
 
 
+def test_gopher_gates_hand_computed(spark):
+    """Document-level Gopher gates against hand-computed values: word
+    bounds, alpha fraction, stop-word minimum, bullet/ellipsis line
+    ratios each trip independently."""
+    from watermark_detector_spark.functions.text import gopher_gates
+
+    good = ("the quick brown fox jumps over the lazy dog and then it "
+            "sat down to rest with a satisfied look on its small face "
+            "while the farmer watched from the gate and thought that "
+            "harvest would have to wait for the rain to pass this time")
+    docs = spark.createDataFrame(
+        [(1, good),                               # passes every gate
+         (2, "too short to keep"),                 # < min_words
+         (3, "11 22 33 44 " * 13 + "the end"),     # alpha frac low
+         (4, ("word " * 60).strip()),              # zero stopwords
+         (5, "• one two three\n• four five six\n• and seven the eight"),
+         (6, "the first line goes on...\nand the second one too...")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in gopher_gates(docs, min_words=20).collect()}
+    assert out[1]["keep"] and out[1]["alpha_word_frac"] == 1.0
+    assert out[1]["stopword_cnt"] >= 2
+    assert not out[2]["keep"] and out[2]["n_words"] == 4
+    assert not out[3]["keep"]
+    assert out[3]["alpha_word_frac"] == round(2 / 54, 4)
+    assert not out[4]["keep"] and out[4]["stopword_cnt"] == 0
+    assert out[5]["bullet_line_frac"] == 1.0 and not out[5]["keep"]
+    assert out[6]["ellipsis_line_frac"] == 1.0 and not out[6]["keep"]
+
+
+def test_c4_clean_line_rules(spark):
+    """C4 line cleaning: terminal-punctuation requirement, min words
+    per line, banned line word, banned doc phrase, min surviving
+    lines — each rule verified on a constructed doc."""
+    from watermark_detector_spark.functions.text import c4_clean
+
+    text = ("This sentence survives the cleaning pass intact.\n"
+            "no terminal punctuation here\n"
+            "Too short.\n"
+            "Please enable javascript to view this page.\n"
+            "Another keeper line ends with a question mark?\n"
+            "A third proper sentence closes the document!")
+    docs = spark.createDataFrame(
+        [(1, text),
+         (2, "Lorem ipsum dolor sit amet as boilerplate filler text.\n"
+             "A perfectly fine second sentence follows it here.\n"
+             "And a third one to clear the line minimum easily.\n"
+             "Plus a fourth for good measure today.")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in c4_clean(docs, min_lines_kept=3).collect()}
+    a = out[1]
+    assert a["n_lines"] == 6 and a["n_lines_kept"] == 3
+    assert a["clean_text"].splitlines() == [
+        "This sentence survives the cleaning pass intact.",
+        "Another keeper line ends with a question mark?",
+        "A third proper sentence closes the document!",
+    ]
+    assert a["keep"]
+    b = out[2]   # line rules pass but the doc phrase gate kills it
+    assert b["n_lines_kept"] == 4 and not b["keep"]
+
+
+def test_pii_scrub_patterns(spark):
+    """PII scrub: each pattern replaces with its typed token, counts
+    come from the original text, clean docs untouched, and '<SSN>'
+    never re-matches as a phone (ordering contract)."""
+    from watermark_detector_spark.functions.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b-c_d@sub.example.org or x@y.io now"),
+         (2, "ssn 123-45-6789 phone 555-867-5309 alt 555.867.5309"),
+         (3, "host 192.168.0.1 and 10.0.0.7 up"),
+         (4, "version 1.2.3 costs 12-34 dollars at 5.6 percent")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in scrub_pii(docs).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[1]["n_email"] == 2 and out[1]["has_pii"]
+    assert out[2]["clean_text"] == "ssn <SSN> phone <PHONE> alt <PHONE>"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 2
+    assert out[3]["clean_text"] == "host <IP> and <IP> up"
+    assert out[3]["n_ipv4"] == 2
+    # near-misses: short version strings / partial digit groups stay
+    assert out[4]["clean_text"] == docs.collect()[3]["text"]
+    assert not out[4]["has_pii"]
+
+
 def test_decontaminate_flags_shared_runs(spark):
     """Decontamination: a training doc sharing a >= window+n-1 token run
     with the holdout is flagged (winnowing guarantee) and dropped by

@@ -217,6 +217,139 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# -- Gopher document-level gates (the non-repetition half) -----------------
+# (Rae et al. 2021 §A1.1 continued.) gopher_quality above covers the
+# repetition/boilerplate rules; these are the remaining document-level
+# gates of the published rule set: word-count bounds, alphabetic-word
+# fraction, minimum stop-word hits, and bullet/ellipsis line ratios.
+# All pure scalar array expressions — zero shuffle, they ride the scan.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of whitespace tokens containing at least one alphabetic
+    character (Gopher keeps docs with >= 0.80)."""
+    toks = tokens_col(text)
+    return F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        / F.greatest(F.size(toks), F.lit(1)),
+        4,
+    )
+
+
+def stopword_count(text: Column,
+                   words: tuple[str, ...] = GOPHER_STOPWORDS) -> Column:
+    """#tokens (lower-cased, exact) in the stop-word set — Gopher
+    requires at least 2 hits from its 8-word English set."""
+    toks = tokens_col(text)
+    return F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*words))
+    ).cast("bigint")
+
+
+def bullet_line_fraction(text: Column, delim: str = "\n",
+                         bullets: tuple[str, ...] = ("•", "-", "*")) -> Column:
+    """Fraction of lines starting with a bullet marker (Gopher drops
+    docs where > 0.90 of lines are bulleted)."""
+    lines = lines_col(text, delim)
+
+    def _is_bullet(s: Column) -> Column:
+        cond = s.startswith(bullets[0])
+        for b in bullets[1:]:
+            cond = cond | s.startswith(b)
+        return cond
+
+    return F.round(
+        F.size(F.filter(lines, _is_bullet))
+        / F.greatest(F.size(lines), F.lit(1)),
+        4,
+    )
+
+
+def ellipsis_line_fraction(text: Column, delim: str = "\n") -> Column:
+    """Fraction of lines ending with an ellipsis (Gopher drops docs
+    where > 0.30 of lines trail off)."""
+    lines = lines_col(text, delim)
+    return F.round(
+        F.size(F.filter(lines,
+                        lambda s: s.endswith("...") | s.endswith("…")))
+        / F.greatest(F.size(lines), F.lit(1)),
+        4,
+    )
+
+
+def gopher_gates(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", line_delim: str = "\n",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_alpha_frac: float = 0.80, min_stopwords: int = 2,
+                 max_bullet_frac: float = 0.90,
+                 max_ellipsis_frac: float = 0.30) -> DataFrame:
+    """The document-level Gopher gates + composite ``keep`` flag
+    (thresholds default to the paper's). Complements ``gopher_quality``
+    (repetition rules); together they are the full published rule set.
+    Every column is a codegen'd scalar expression over the scan — at
+    10^12 docs this is a zero-shuffle, filter-pushdown-friendly stage."""
+    text = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(text).alias("n_words"),
+        alpha_word_fraction(text).alias("alpha_word_frac"),
+        stopword_count(text).alias("stopword_cnt"),
+        bullet_line_fraction(text, line_delim).alias("bullet_line_frac"),
+        ellipsis_line_fraction(text, line_delim).alias("ellipsis_line_frac"),
+    ).withColumn(
+        "keep",
+        F.col("n_words").between(min_words, max_words)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("stopword_cnt") >= min_stopwords)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac),
+    )
+
+
+# -- C4 line-cleaning transform (Raffel et al. 2020 §2.2) ------------------
+
+
+def c4_clean(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", line_delim: str = "\n",
+             min_line_words: int = 3, min_lines_kept: int = 3,
+             require_terminal_punct: bool = True,
+             banned_line_words: tuple[str, ...] = ("javascript",),
+             banned_doc_phrases: tuple[str, ...] = ("lorem ipsum", "{"),
+             ) -> DataFrame:
+    """C4's line-level cleaning re-expressed as one pure-projection
+    transform: keep only lines with >= ``min_line_words`` words,
+    (optionally) ending in terminal punctuation, and not containing a
+    banned word; rebuild ``clean_text`` from the survivors; flag the
+    whole doc ``keep=false`` when it contains a banned phrase or too
+    few lines survive. ``line_delim`` is treated as a literal string
+    (split AND re-join). Zero shuffle — a scan-side rewrite stage that
+    runs ahead of dedup/tokenization in a corpus pipeline."""
+    text = F.col(text_col)
+    lines = lines_col(text, line_delim)
+
+    def _keep_line(s: Column) -> Column:
+        cond = F.size(F.split(s, r"\s+")) >= min_line_words
+        if require_terminal_punct:
+            cond = cond & s.rlike("[.!?”\"]$")
+        for w in banned_line_words:
+            cond = cond & ~F.lower(s).contains(w.lower())
+        return cond
+
+    kept = F.filter(lines, _keep_line)
+    doc_ok = F.lit(True)
+    for p in banned_doc_phrases:
+        doc_ok = doc_ok & ~F.lower(text).contains(p.lower())
+    return df.select(
+        id_col,
+        F.array_join(kept, line_delim).alias("clean_text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        (doc_ok & (F.size(kept) >= min_lines_kept)).alias("keep"),
+    )
+
+
 try:  # Python UDTF (pyspark >= 3.5): table-valued chunker
     from pyspark.sql.functions import udtf
 
