@@ -954,6 +954,42 @@ def _q80_pii_scrub(spark, sf: str) -> DataFrame:
     return scrub_pii(aug)
 
 
+def _q81_stream_sequence(spark, sf: str) -> DataFrame:
+    """STREAMING k-step CEP (k=3, strict contiguity): view, view, click
+    as three CONSECUTIVE events per user, each gap <= 24 h, decided when
+    the window's last event drops below the watermark (streaming/state.
+    sequence_match_stream — pattern_match_stream generalized to k steps
+    with a k-1 finalized-tail state + gap-based expiry). Emission rule
+    the oracle replays: matches whose last event time < final watermark
+    (max event time ms-floored, minus 30 min), via the same k-1-lead
+    window SQL as the batch twin (operators/cep.sequence_match)."""
+    from watermark_detector_spark.streaming.state import sequence_match_stream
+
+    src, _ = _events_stream(spark, sf)
+    sm = sequence_match_stream(src, ["view", "view", "click"],
+                               max_gap_s=86400, watermark="30 minutes")
+    name = "wmd_q81_" + uuid.uuid4().hex[:8]
+    _run_to_memory(sm, name, "append")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("t_first", _TS_FMT_SPARK).alias("t_first"),
+        F.date_format("t_last", _TS_FMT_SPARK).alias("t_last"),
+        "first_id",
+    )
+
+
+def _q82_sequence_match(spark, sf: str) -> DataFrame:
+    """Batch k-step CEP (q81's batch twin): MATCH_RECOGNIZE
+    PATTERN(view view click) with strict contiguity and 24 h max gap —
+    ONE keyed sort carrying k-1 lead() columns regardless of k
+    (operators/cep.sequence_match), no self-join."""
+    from watermark_detector_spark.operators.cep import sequence_match
+
+    e = _t(spark, sf, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    return sequence_match(e, ["view", "view", "click"], max_gap_s=86400)
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1398,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_gopher_gates": _q78_gopher_gates,
         "q79_c4_line_clean": _q79_c4_line_clean,
         "q80_pii_scrub": _q80_pii_scrub,
+        "q81_stream_sequence": _q81_stream_sequence,
+        "q82_sequence_match": _q82_sequence_match,
         # -- priority block: no driver CORRECTNESS row yet (batch first) --
         "q63_recursive_cte": _q63_recursive_cte,
         "q64_variant_json": _q64_variant_json,
@@ -2045,6 +2083,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN funnel_level >= 2 THEN t1
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q82_sequence_match": """
+            WITH l AS (
+              SELECT user_id, ts, event_type, event_id,
+                     lead(event_type, 1) OVER w AS ty1,
+                     lead(ts, 1) OVER w AS ts1,
+                     lead(event_type, 2) OVER w AS ty2,
+                     lead(ts, 2) OVER w AS ts2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, ts AS t_first, ts2 AS t_last,
+                   event_id AS first_id
+            FROM l
+            WHERE event_type = 'view' AND ty1 = 'view' AND ty2 = 'click'
+              AND ts1 <= ts + INTERVAL 86400 SECOND
+              AND ts2 <= ts1 + INTERVAL 86400 SECOND
+        """,
+        "q81_stream_sequence": f"""
+            WITH wm AS (
+              SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS wm_us
+              FROM events),
+            l AS (
+              SELECT user_id, ts, event_type, event_id,
+                     lead(event_type, 1) OVER w AS ty1,
+                     lead(ts, 1) OVER w AS ts1,
+                     lead(event_type, 2) OVER w AS ty2,
+                     lead(ts, 2) OVER w AS ts2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id,
+                   strftime(ts, '{_TS_FMT_DUCK}') AS t_first,
+                   strftime(ts2, '{_TS_FMT_DUCK}') AS t_last,
+                   event_id AS first_id
+            FROM l, wm
+            WHERE event_type = 'view' AND ty1 = 'view' AND ty2 = 'click'
+              AND ts1 <= ts + INTERVAL 86400 SECOND
+              AND ts2 <= ts1 + INTERVAL 86400 SECOND
+              AND epoch_us(ts2) < wm.wm_us
         """,
         "q74_stream_pattern": f"""
             WITH wm AS (

@@ -620,6 +620,40 @@ def test_gopher_symbol_ratio(spark):
     assert not row["keep"]
 
 
+def test_sequence_match_strict_contiguity(spark):
+    """k-step CEP PATTERN(S1..Sk): only CONSECUTIVE per-key events
+    match, any interleaved event breaks the window, every consecutive
+    gap is checked, overlapping matches all emit."""
+    from datetime import datetime
+
+    from watermark_detector_spark.operators.cep import sequence_match
+
+    T = lambda m: datetime(2024, 1, 1, 10, m, 0)
+    rows = [
+        (1, T(0), 1, "view"), (2, T(1), 1, "click"), (3, T(2), 1, "purchase"),
+        # u2: 'error' between click and purchase breaks contiguity
+        (4, T(0), 2, "view"), (5, T(1), 2, "click"),
+        (6, T(2), 2, "error"), (7, T(3), 2, "purchase"),
+        # u3: second gap exceeds the limit
+        (8, T(0), 3, "view"), (9, T(1), 3, "click"), (10, T(50), 3, "purchase"),
+        # u4: two back-to-back full sequences -> two matches
+        (11, T(0), 4, "view"), (12, T(1), 4, "click"), (13, T(2), 4, "purchase"),
+        (14, T(3), 4, "view"), (15, T(4), 4, "click"), (16, T(5), 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = sorted(
+        (r["user_id"], r["t_first"], r["t_last"], r["first_id"])
+        for r in sequence_match(df, ["view", "click", "purchase"],
+                                max_gap_s=600).collect())
+    assert got == [(1, T(0), T(2), 1), (4, T(0), T(2), 11),
+                   (4, T(3), T(5), 14)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sequence_match(df, ["view"], max_gap_s=600)
+
+
 def test_gopher_gates_hand_computed(spark):
     """Document-level Gopher gates against hand-computed values: word
     bounds, alpha fraction, stop-word minimum, bullet/ellipsis line

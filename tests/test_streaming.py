@@ -793,6 +793,120 @@ def test_pattern_match_stream_expires_dead_heads(spark, tmp_path_factory):
     assert state_rows and state_rows[-1] == 1, state_rows
 
 
+def test_sequence_match_stream_semantics(spark, tmp_path_factory):
+    """k-step streaming CEP: a window completed ACROSS batch boundaries
+    via the retained finalized tail emits; a window broken by a
+    watermark-late arrival does not; tail state for dead keys is
+    expired once the watermark passes tail_last + gap."""
+    from datetime import datetime
+
+    from watermark_detector_spark.streaming.state import sequence_match_stream
+
+    T = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+    root = tmp_path_factory.mktemp("seq_stream")
+    src_dir = root / "src"
+    src_dir.mkdir()
+    batches = [
+        # u1: first two steps; u2: full prefix awaiting a purchase
+        [(1, T(0, 0), 1, "view"), (2, T(0, 30), 1, "click"),
+         (3, T(0, 0), 2, "view"), (4, T(0, 10), 2, "click"),
+         (5, T(1, 0), 9, "error")],
+        # wm -> 10:04:00: u1/u2 prefixes finalize into the tail
+        [(6, T(5, 0), 9, "error")],
+        # u1 completes across the boundary (purchase >= wm, gap from
+        # click 5.5 min <= 10 min); u2's purchase is LATE (< wm) ->
+        # dropped, its window never completes
+        [(7, T(6, 0), 1, "purchase"), (8, T(0, 20), 2, "purchase"),
+         (9, T(10, 0), 9, "error")],
+        # wm -> 10:19: u1's match finalizes AND every tail is past
+        # tail_last + gap -> expired
+        [(10, T(20, 0), 9, "error")],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(src_dir / f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    sm = sequence_match_stream(stream, ["view", "click", "purchase"],
+                               max_gap_s=600, watermark="1 minute")
+    q = (sm.writeStream.outputMode("append").format("memory")
+         .queryName("seq_stream_test")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [(r["user_id"], r["t_first"], r["t_last"], r["first_id"])
+           for r in spark.table("seq_stream_test").collect()]
+    assert got == [(1, T(0, 0), T(6, 0), 1)]
+    import json as _json
+
+    state_rows = []
+    for pr in q.recentProgress:
+        d = pr if isinstance(pr, dict) else _json.loads(pr.json)
+        ops = d.get("stateOperators") or []
+        if ops:
+            state_rows.append(ops[0]["numRowsTotal"])
+    # final store: only u9's still-pending 10:20 event — u1/u2 tails
+    # expired (gap rule), nothing retained forever
+    assert state_rows and state_rows[-1] == 1, state_rows
+
+
+def test_sequence_match_stream_equals_batch(spark, tmp_path_factory):
+    """On an in-order replay where every match finalizes, the streaming
+    operator emits exactly the batch sequence_match rows."""
+    from datetime import datetime
+
+    from watermark_detector_spark.operators.cep import sequence_match
+    from watermark_detector_spark.streaming.state import sequence_match_stream
+
+    T = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+    rows = [
+        (1, T(0), 1, "view"), (2, T(1), 1, "click"), (3, T(2), 1, "purchase"),
+        (4, T(0), 2, "view"), (5, T(1), 2, "error"),
+        (6, T(2), 2, "click"), (7, T(3), 2, "purchase"),
+        (8, T(0), 3, "view"), (9, T(1), 3, "click"), (10, T(50), 3, "purchase"),
+        (11, T(0), 4, "view"), (12, T(1), 4, "click"), (13, T(2), 4, "purchase"),
+        (14, T(3), 4, "view"), (15, T(4), 4, "click"), (16, T(5), 4, "purchase"),
+    ]
+    wm_drivers = [(17, T(58), 9, "error"), (18, T(59), 9, "error")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    want = sorted(
+        (r["user_id"], r["t_first"], r["t_last"], r["first_id"])
+        for r in sequence_match(df, ["view", "click", "purchase"],
+                                max_gap_s=600).collect())
+
+    root = tmp_path_factory.mktemp("seq_eq")
+    src_dir = root / "src"
+    src_dir.mkdir()
+    # all real events in batch 0 (nothing late), then watermark drivers
+    for i, rs in enumerate([rows, wm_drivers]):
+        pdf = pd.DataFrame(rs, columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(src_dir / f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    sm = sequence_match_stream(stream, ["view", "click", "purchase"],
+                               max_gap_s=600, watermark="1 minute")
+    q = (sm.writeStream.outputMode("append").format("memory")
+         .queryName("seq_eq_test")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r["user_id"], r["t_first"], r["t_last"], r["first_id"])
+                 for r in spark.table("seq_eq_test").collect())
+    assert got == want and len(got) == 3
+
+
 def test_funnel_stream_ttl_reclaims_inactive_keys(spark, tmp_path_factory):
     """funnel_stream(state_ttl_s=...): a key whose chain started but
     that has seen no pending events for state_ttl_s of event time is

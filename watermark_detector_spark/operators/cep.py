@@ -116,3 +116,42 @@ def adjacent_pairs(df: DataFrame, first: str, second: str, max_gap_s: int,
         & (F.col("second_ts")
            <= F.col("first_ts") + F.expr(f"INTERVAL {int(max_gap_s)} SECOND"))
     ).select(key_col, "first_ts", "second_ts")
+
+
+def sequence_match(df: DataFrame, steps: list[str], max_gap_s: int,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   id_col: str = "event_id") -> DataFrame:
+    """MATCH_RECOGNIZE ``PATTERN (S1 S2 ... Sk)`` with STRICT
+    contiguity (Flink CEP ``next()``): k consecutive events per key —
+    ordered by (ts, id) so equal timestamps resolve identically in any
+    engine — whose types equal ``steps`` in order, every consecutive
+    gap <= ``max_gap_s``. Overlapping matches all emit (each window
+    position is tested independently, which keeps the operator a pure
+    window expression — no iteration, no state).
+
+    Output: (key, t_first, t_last, first_id). Cost: ONE keyed
+    sort-merge pass carrying k-1 lead() columns — the same single
+    Exchange+Sort as adjacent_pairs regardless of k, so the shape
+    holds at 10^12 events. ``sequence_match_stream`` (streaming/state)
+    is the event-time twin; q81's oracle replays this SQL."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError(f"sequence_match needs >= 2 steps, got {k}")
+    w = W.partitionBy(key_col).orderBy(ts_col, id_col)
+    cur = df.select(key_col, ts_col, type_col, id_col)
+    for j in range(1, k):
+        cur = (cur.withColumn(f"_ty{j}", F.lead(type_col, j).over(w))
+               .withColumn(f"_ts{j}", F.lead(ts_col, j).over(w)))
+    gap = F.expr(f"INTERVAL {int(max_gap_s)} SECOND")
+    cond = F.col(type_col) == steps[0]
+    for j in range(1, k):
+        prev_ts = F.col(ts_col) if j == 1 else F.col(f"_ts{j - 1}")
+        cond = (cond & (F.col(f"_ty{j}") == steps[j])
+                & (F.col(f"_ts{j}") <= prev_ts + gap))
+    return cur.where(cond).select(
+        key_col,
+        F.col(ts_col).alias("t_first"),
+        F.col(f"_ts{k - 1}").alias("t_last"),
+        F.col(id_col).alias("first_id"),
+    )

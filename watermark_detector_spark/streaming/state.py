@@ -273,6 +273,138 @@ def pattern_match_stream(events: DataFrame, first_type: str, second_type: str,
     )
 
 
+SEQUENCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("t_first", T.TimestampType(), False),
+        T.StructField("t_last", T.TimestampType(), False),
+        T.StructField("first_id", T.LongType(), False),
+    ]
+)
+SEQUENCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType()), True),
+        T.StructField("types", T.ArrayType(T.StringType()), True),
+        T.StructField("ids", T.ArrayType(T.LongType()), True),
+        T.StructField("n_tail", T.LongType(), True),
+    ]
+)
+
+
+def _sequence_fn_factory(steps: list[str], max_gap_s: int):
+    gap_us = max_gap_s * _US
+    k = len(steps)
+
+    def _fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            ts_l, ty_l, id_l, n_tail = state.get
+            buf = [(int(t), str(y), int(i))
+                   for t, y, i in zip(ts_l, ty_l, id_l)]
+            n_tail = int(n_tail)
+        else:
+            buf, n_tail = [], 0
+        if not state.hasTimedOut:
+            chunks = [p for p in pdf_iter if len(p)]
+            if chunks:
+                rows = pd.concat(chunks, ignore_index=True)
+                for ts, ty, eid in zip(rows["ts"], rows["event_type"],
+                                       rows["event_id"]):
+                    t_us = int(pd.Timestamp(ts).value // 1000)
+                    if t_us < wm_us:
+                        continue  # late by watermark: dropped
+                    buf.append((t_us, str(ty), int(eid)))
+        # Tail entries all have ts < the watermark at the batch that
+        # finalized them, pending/new entries have ts >= it — so after
+        # this sort the old tail is still exactly buf[:n_tail] and
+        # contiguity within the finalized prefix is immutable (any
+        # future arrival has ts >= wm > every finalized ts).
+        buf.sort(key=lambda r: (r[0], r[2]))
+        n_final = sum(1 for r in buf if r[0] < wm_us)
+        out = []
+        # windows ENDING in a newly-finalized event are newly decided;
+        # windows ending inside the old tail were emitted already
+        for i in range(max(k - 1, n_tail), n_final):
+            win = buf[i - k + 1:i + 1]
+            if len(win) < k:
+                continue
+            if all(win[j][1] == steps[j] for j in range(k)) and all(
+                    win[j][0] - win[j - 1][0] <= gap_us
+                    for j in range(1, k)):
+                out.append({"user_id": user,
+                            "t_first": pd.Timestamp(win[0][0], unit="us"),
+                            "t_last": pd.Timestamp(win[-1][0], unit="us"),
+                            "first_id": win[0][2]})
+        keep = buf[max(0, n_final - (k - 1)):]
+        tail_len = min(k - 1, n_final)
+        pending = [r for r in keep if r[0] >= wm_us]
+        if not keep:
+            state.remove()
+        elif pending:
+            state.update((
+                [r[0] for r in keep],
+                [r[1] for r in keep],
+                [r[2] for r in keep],
+                tail_len,
+            ))
+            state.setTimeoutTimestamp(pending[0][0] // 1000 + 1)
+        else:
+            # tail-only state: any future match through the tail must
+            # chain consecutively through its LAST element, and future
+            # events have ts >= wm — once wm > tail_last + gap no such
+            # chain can satisfy the gap rule, so expire (same bounded-
+            # state contract as pattern_match_stream).
+            expiry_ms = (keep[-1][0] + gap_us) // 1000 + 1
+            if expiry_ms * 1000 <= wm_us:
+                state.remove()
+            else:
+                state.update((
+                    [r[0] for r in keep],
+                    [r[1] for r in keep],
+                    [r[2] for r in keep],
+                    tail_len,
+                ))
+                state.setTimeoutTimestamp(expiry_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return _fn
+
+
+def sequence_match_stream(events: DataFrame, steps: list[str],
+                          max_gap_s: int,
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Streaming k-step CEP with strict contiguity (the event-time twin
+    of operators/cep.sequence_match, generalizing pattern_match_stream
+    from 2 to k steps): per-user, emit (t_first, t_last, first_id)
+    whenever k CONSECUTIVE events match ``steps`` in order with every
+    consecutive gap <= ``max_gap_s``, decided only once the window's
+    last event drops below the event-time watermark (no event can then
+    ever be inserted inside the window). Out-of-order arrivals above
+    the watermark are buffered; state per key is the pending buffer
+    (bounded by the watermark horizon x event rate) plus the last k-1
+    finalized events — retained as possible prefixes of future windows
+    and EXPIRED via an event-time timer once the watermark passes
+    tail_last + max_gap (state stays bounded for inactive keys). Late
+    events drop with the same semantics as windowed aggregations.
+    Emission contract (what the q81 oracle replays): exactly the
+    matches whose last event time is strictly below the final
+    watermark."""
+    return (
+        events.select("user_id", "ts", "event_type", "event_id")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sequence_fn_factory(list(steps), max_gap_s),
+            outputStructType=SEQUENCE_OUTPUT_SCHEMA,
+            stateStructType=SEQUENCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 FUNNEL_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),
