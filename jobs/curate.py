@@ -3,17 +3,23 @@
 100 TB data pipeline actually ships, built entirely from the engine's
 operators:
 
-  1. score      language-ID, quality, token counts   (codegen exprs)
-  2. gate       lang == --lang, quality >= --min-quality,
-                token count in [--min-tokens, --max-tokens]
-  3. repetition gate  Gopher/C4 rules (duplicate lines, top/dup n-gram
+  1. c4 clean   (--c4-line-delim) C4 line-level cleaning: rewrite text
+                to surviving lines, drop under-the-line-minimum docs
+  2. pii scrub  (default on) redact emails/SSNs/phones/IPv4 in place
+                before anything downstream can memorize them
+  3. score      language-ID, quality, token counts   (codegen exprs)
+  4. gate       lang == --lang, quality >= --min-quality,
+                token count in [--min-tokens, --max-tokens]; with
+                --doc-gates also the document-level Gopher rules
+                (alpha fraction, stop-word minimum, bullet/ellipsis)
+  5. repetition gate  Gopher/C4 rules (duplicate lines, top/dup n-gram
                 ratios, symbol density) via gopher_quality().keep
-  4. exact dedup  md5 fingerprint keeper per group    (short-key shuffle)
-  5. near dedup   MinHash-LSH candidates → Jaccard on candidates →
+  6. exact dedup  md5 fingerprint keeper per group    (short-key shuffle)
+  7. near dedup   MinHash-LSH candidates → Jaccard on candidates →
                   connected components → keeper anti-join
-  6. decontaminate  (--holdout) drop docs sharing any winnowing
+  8. decontaminate  (--holdout) drop docs sharing any winnowing
                 fingerprint with the holdout/eval corpus
-  7. write      curated parquet + one JSON line of funnel stats
+  9. write      curated parquet + one JSON line of funnel stats
 
 Every stage is a DataFrame transform; the only shuffles are the
 fingerprint key, the (band, minhash) key, the candidate equi-joins and
@@ -41,7 +47,9 @@ from pyspark.sql import functions as F  # noqa: E402
 def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
            min_tokens: int = 20, max_tokens: int = 5000,
            jaccard: float = 0.5, out: str | None = None,
-           repetition_gate: bool = True, holdout=None):
+           repetition_gate: bool = True, holdout=None,
+           pii_scrub: bool = True, c4_line_delim: str | None = None,
+           doc_gates: bool = False):
     """(curated DataFrame, funnel stats dict). Deterministic keeper
     rule at every stage: min doc_id survives.
 
@@ -66,17 +74,61 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
 
     stats = {"input": docs.count()}
 
+    if c4_line_delim is not None:
+        # C4 line cleaning (opt-in; pass the corpus line delimiter):
+        # rewrite text to the surviving lines, drop docs below the
+        # line minimum — a scan-side projection, zero shuffle
+        from watermark_detector_spark.functions.text import c4_clean
+
+        cleaned = c4_clean(docs, line_delim=c4_line_delim,
+                           require_terminal_punct=False)
+        docs = (docs.drop("text")
+                .join(cleaned.where("keep")
+                      .select("doc_id", F.col("clean_text").alias("text")),
+                      "doc_id"))
+        stats["after_c4_clean"] = docs.count()
+
+    if pii_scrub:
+        # redact emails/SSNs/phones/IPv4 in place BEFORE anything
+        # downstream can memorize or fingerprint them; a rewrite, not
+        # a filter (doc count unchanged — scrubbed doc count recorded)
+        from watermark_detector_spark.functions.pii import (
+            pii_count,
+            scrub_col,
+        )
+        from watermark_detector_spark.functions.pii import PII_PATTERNS
+
+        n_pii = None
+        for k, _, _ in PII_PATTERNS:
+            c = pii_count(F.col("text"), k)
+            n_pii = c if n_pii is None else n_pii + c
+        docs = docs.withColumn("_n_pii", n_pii) \
+            .withColumn("text", scrub_col(F.col("text")))
+        stats["pii_docs_scrubbed"] = docs.where("_n_pii > 0").count()
+        docs = docs.drop("_n_pii")
+
     scored = docs.select(
         "*",
         lang_guess(F.col("text")).alias("_lang"),
         quality_score(F.col("text")).alias("_quality"),
         token_count(F.col("text")).alias("_n_tokens"),
     )
-    gated = scored.where(
+    gate_cond = (
         (F.col("_lang") == lang)
         & (F.col("_quality") >= min_quality)
         & F.col("_n_tokens").between(min_tokens, max_tokens)
-    ).persist()
+    )
+    if doc_gates:
+        # document-level Gopher gates (alpha fraction, stop-word
+        # minimum, bullet/ellipsis ratios) — inline boolean column,
+        # same scan, no join; word bounds already covered by
+        # min/max_tokens above so they are left wide open here
+        from watermark_detector_spark.functions.text import gopher_gates_keep
+
+        gate_cond = gate_cond & gopher_gates_keep(
+            F.col("text"), line_delim=c4_line_delim or "\n",
+            min_words=1, max_words=1 << 60)
+    gated = scored.where(gate_cond).persist()
     stats["after_gate"] = gated.count()
 
     if repetition_gate:
@@ -153,6 +205,14 @@ def main() -> None:  # pragma: no cover - CLI wrapper
                     help="parquet of eval/holdout docs (doc_id, text); "
                          "curated docs sharing any winnowing fingerprint "
                          "with it are dropped")
+    ap.add_argument("--no-pii-scrub", action="store_true",
+                    help="skip the email/SSN/phone/IPv4 redaction stage")
+    ap.add_argument("--c4-line-delim", default=None,
+                    help="enable the C4 line-cleaning stage with this "
+                         "line delimiter (e.g. $'\\n')")
+    ap.add_argument("--doc-gates", action="store_true",
+                    help="apply the document-level Gopher gates (alpha "
+                         "fraction, stop-word minimum, bullet/ellipsis)")
     args = ap.parse_args()
 
     from watermark_detector_spark.session import get_spark
@@ -165,6 +225,9 @@ def main() -> None:  # pragma: no cover - CLI wrapper
         repetition_gate=not args.no_repetition_gate,
         holdout=(spark.read.parquet(args.holdout)
                  if args.holdout else None),
+        pii_scrub=not args.no_pii_scrub,
+        c4_line_delim=args.c4_line_delim,
+        doc_gates=args.doc_gates,
     )
     print(json.dumps({"out": args.out, **stats}))
     spark.stop()

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 from datetime import datetime, timezone
@@ -50,6 +51,50 @@ DRIVER_CORES = 2
 SCALING_DOCS = os.environ.get("WMD_SCALING_DOCS", "600000")
 SCALING_SIGS = os.environ.get("WMD_SCALING_SIGS", "2000")
 
+# Load gating (round-5): rounds 2-4 showed external host load silently
+# polluting single epochs (±30% swings on WHICH phase gets hit). Every
+# epoch is now measured, gated, and either accepted or rejected by two
+# objective signals recorded alongside the numbers:
+#  - off-pin CPU busy fraction: each level is taskset-pinned to cores
+#    [0, n_cpus); anything burning the REMAINING cores during the run is
+#    by construction not us. Sampled from /proc/stat around each level.
+#  - 1-min loadavg before each level (secondary, recorded not gated:
+#    after a level our own just-exited JVMs still inflate it).
+# The report takes the MEDIAN over >= EPOCHS accepted epochs.
+EPOCHS = int(os.environ.get("WMD_SCALING_EPOCHS", "5"))
+MAX_ATTEMPTS = int(os.environ.get("WMD_SCALING_MAX_ATTEMPTS",
+                                  str(EPOCHS + 3)))
+OFFPIN_BUSY_REJECT = float(os.environ.get("WMD_SCALING_OFFPIN_MAX", "0.10"))
+N_HOST_CPUS = os.cpu_count() or 32
+
+
+def _proc_stat() -> dict[int, tuple[int, int]]:
+    """Per-cpu (busy_jiffies, total_jiffies) from /proc/stat."""
+    out = {}
+    with open("/proc/stat") as fh:
+        for ln in fh:
+            if ln.startswith("cpu") and ln[3].isdigit():
+                parts = ln.split()
+                cpu = int(parts[0][3:])
+                vals = [int(v) for v in parts[1:]]
+                idle = vals[3] + vals[4]          # idle + iowait
+                out[cpu] = (sum(vals) - idle, sum(vals))
+    return out
+
+
+def offpin_busy_fraction(before: dict, after: dict, n_pinned: int) -> float:
+    """Mean busy fraction over the NON-pinned cores between two
+    /proc/stat samples — external load, by construction."""
+    fracs = []
+    for cpu in before:
+        if cpu < n_pinned or cpu not in after:
+            continue
+        db = after[cpu][0] - before[cpu][0]
+        dt = after[cpu][1] - before[cpu][1]
+        if dt > 0:
+            fracs.append(db / dt)
+    return sum(fracs) / len(fracs) if fracs else 0.0
+
 
 def run_bench(n_executors: int) -> dict:
     env = dict(
@@ -72,44 +117,84 @@ def run_bench(n_executors: int) -> dict:
     )
     # pin the level to exactly its core budget (see module docstring)
     n_cpus = n_executors * EXEC_CORES + DRIVER_CORES
+    load_before = os.getloadavg()[0]
+    stat_before = _proc_stat()
     out = subprocess.run(
         ["taskset", "-c", f"0-{n_cpus - 1}",
          sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
+    stat_after = _proc_stat()
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    res["loadavg_before"] = round(load_before, 2)
+    res["offpin_busy"] = round(
+        offpin_busy_fraction(stat_before, stat_after, n_cpus), 4)
+    return res
 
 
 def main() -> None:
-    results = {}
-    for n in LEVELS:
-        results[n] = run_bench(n)
-        print(f"local-cluster[{n},{EXEC_CORES}]: {json.dumps(results[n])}", flush=True)
-
-    lo, hi = min(LEVELS), max(LEVELS)
-    rows = []
-    effs = {}
-    for key, label in [
+    metrics = [
         ("docs_per_sec_batch", "flagship batch"),
-        ("docs_per_sec_stream", "flagship streaming e2e (incl. query start/teardown)"),
+        ("docs_per_sec_stream",
+         "flagship streaming e2e (incl. query start/teardown)"),
         ("docs_per_sec_stream_sustained",
-         "flagship streaming SUSTAINED (data micro-batches; the BASELINE.json metric)"),
-    ]:
-        if key not in results[lo] or key not in results[hi]:
-            continue
-        t_lo, t_hi = results[lo][key], results[hi][key]
-        eff = (t_hi / t_lo) / (hi / lo)  # throughput ratio / executor ratio
-        effs[key] = eff
-        rows.append((label, t_lo, t_hi, eff))
+         "flagship streaming SUSTAINED (data micro-batches; the "
+         "BASELINE.json metric)"),
+    ]
+    lo, hi = min(LEVELS), max(LEVELS)
+    accepted: list[dict] = []
+    rejected: list[dict] = []
+    attempt = 0
+    while len(accepted) < EPOCHS and attempt < MAX_ATTEMPTS:
+        attempt += 1
+        results = {}
+        for n in LEVELS:
+            results[n] = run_bench(n)
+            print(f"epoch {attempt} local-cluster[{n},{EXEC_CORES}]: "
+                  f"{json.dumps(results[n])}", flush=True)
+        worst_offpin = max(results[n]["offpin_busy"] for n in LEVELS)
+        epoch = {"attempt": attempt, "results": results,
+                 "worst_offpin": worst_offpin,
+                 "effs": {}}
+        for key, _label in metrics:
+            if key in results[lo] and key in results[hi]:
+                epoch["effs"][key] = (
+                    (results[hi][key] / results[lo][key]) / (hi / lo))
+        ok = worst_offpin <= OFFPIN_BUSY_REJECT
+        (accepted if ok else rejected).append(epoch)
+        print(f"epoch {attempt}: offpin_busy={worst_offpin:.3f} "
+              f"(gate {OFFPIN_BUSY_REJECT}) -> "
+              f"{'ACCEPT' if ok else 'REJECT'} | effs="
+              f"{ {k: round(v, 2) for k, v in epoch['effs'].items()} }",
+              flush=True)
+    if not accepted:
+        print("NO accepted epochs — host never quiet; report the "
+              "rejected data honestly instead of silently passing")
+        accepted = rejected
+        rejected = []
 
+    med = {}
+    rng = {}
+    for key, _label in metrics:
+        vals = sorted(e["effs"][key] for e in accepted if key in e["effs"])
+        if vals:
+            med[key] = statistics.median(vals)
+            rng[key] = (vals[0], vals[-1])
+
+    ref = accepted[len(accepted) // 2]["results"]  # a middling epoch
     md = [
         "# BENCH — measured throughput & scaling efficiency",
         "",
         f"Generated {datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%MZ')} by "
-        "`jobs/scaling_bench.py`. Cluster stand-in: Spark local-cluster mode "
-        "— each executor is a SEPARATE JVM (own heap, GC, python worker "
-        "pool) with the engine shipped via py-files, exactly as "
+        "`jobs/scaling_bench.py` (round-5 LOAD-GATED protocol: every epoch "
+        "records the busy fraction of the host cores OUTSIDE its taskset "
+        "pin — external load by construction — and epochs with off-pin "
+        f"busy > {OFFPIN_BUSY_REJECT:.0%} are auto-rejected; the headline "
+        f"is the MEDIAN over {len(accepted)} accepted epochs, "
+        f"{len(rejected)} rejected). Cluster stand-in: Spark local-cluster "
+        "mode — each executor is a SEPARATE JVM (own heap, GC, python "
+        "worker pool) with the engine shipped via py-files, exactly as "
         "spark-submit would. N=1 executor x 4 cores vs 4N=4 executors x 4 "
         "cores, identical input and configs otherwise; each level is "
         "taskset-pinned to exactly its core budget (+2 driver cores) so "
@@ -118,46 +203,89 @@ def main() -> None:
         "the sandbox stand-in for N vs 4N executors of a real cluster "
         "(per the task brief).",
         "",
-        f"Corpus: {results[hi]['n_docs']:,} deterministic pages (600-1200 words, ~7 kB html "
-        f"payloads, 500 Zipf-skewed domains); pipeline = extract(html→text) "
-        f"→ detect({SCALING_SIGS} signatures) → filter(score>=0.5) → "
-        "per-domain 1-min tumbling window agg → exactly-once sink "
-        "(streaming). Warmup pass before timing; batch = min of 3 runs "
-        "(the host shows ±50% noise spikes). Streaming is warmed with one "
-        "untimed run (one-time state-store/codegen init), then timed "
-        "end-to-end including watermarking, state commits and the "
-        "exactly-once sink's manifest publication.",
+        f"Corpus: {ref[hi]['n_docs']:,} deterministic pages (600-1200 words, "
+        "~7 kB html payloads, 500 Zipf-skewed domains); pipeline = "
+        f"extract(html->text) -> detect({SCALING_SIGS} signatures) -> "
+        "filter(score>=0.5) -> per-domain 1-min tumbling window agg -> "
+        "exactly-once sink (streaming). Warmup pass before timing; batch "
+        "= min of 3 runs, streaming min of 3 after one untimed warm run.",
         "",
-        "| pipeline | docs/sec @ 1 executor x4 cores (N) | docs/sec @ 4 executors x4 cores (4N) | scaling efficiency | target |",
-        "|---|---|---|---|---|",
-    ]
-    for label, a, b, eff in rows:
-        md.append(f"| {label} | {a:,.0f} | {b:,.0f} | **{eff:.2f}** | >=0.8 |")
-    md += [
+        f"## Scaling efficiency — median [min-max] over {len(accepted)} "
+        "load-gated epochs",
         "",
-        "## Per-query wall-clock (sec, sf0.1 testdata + bench corpus)",
-        "",
-        "| query | 1 executor | 4 executors |",
+        "| pipeline | eff median [range] | target |",
         "|---|---|---|",
     ]
-    for q in sorted(results[hi]["queries"]):
-        md.append(
-            f"| {q} | {results[lo]['queries'].get(q, float('nan')):.2f} "
-            f"| {results[hi]['queries'][q]:.2f} |"
-        )
+    for key, label in metrics:
+        if key in med:
+            bold = "**" if key == "docs_per_sec_stream_sustained" else ""
+            md.append(
+                f"| {bold}{label}{bold} | {bold}{med[key]:.2f} "
+                f"[{rng[key][0]:.2f} - {rng[key][1]:.2f}]{bold} "
+                f"| {bold}>=0.8{bold} |")
     md += [
         "",
-        "Raw JSON:",
-        "```json",
-        json.dumps(results[lo]),
-        json.dumps(results[hi]),
-        "```",
+        "## Per-epoch detail (accepted)",
         "",
+        "| epoch | off-pin busy (gate {:.0%}) | loadavg before N / 4N | "
+        "batch eff | e2e eff | sustained eff | docs/s batch N->4N | "
+        "docs/s sustained N->4N |".format(OFFPIN_BUSY_REJECT),
+        "|---|---|---|---|---|---|---|---|",
     ]
+
+    def _row(e):
+        r = e["results"]
+        return (
+            f"| {e['attempt']} | {e['worst_offpin']:.3f} "
+            f"| {r[lo].get('loadavg_before', float('nan')):.1f} / "
+            f"{r[hi].get('loadavg_before', float('nan')):.1f} "
+            f"| {e['effs'].get('docs_per_sec_batch', float('nan')):.2f} "
+            f"| {e['effs'].get('docs_per_sec_stream', float('nan')):.2f} "
+            f"| {e['effs'].get('docs_per_sec_stream_sustained', float('nan')):.2f} "
+            f"| {r[lo]['docs_per_sec_batch']:,.0f} -> "
+            f"{r[hi]['docs_per_sec_batch']:,.0f} "
+            f"| {r[lo].get('docs_per_sec_stream_sustained', float('nan')):,.0f} -> "
+            f"{r[hi].get('docs_per_sec_stream_sustained', float('nan')):,.0f} |")
+
+    for e in accepted:
+        md.append(_row(e))
+    if rejected:
+        md += [
+            "",
+            "## Rejected epochs (off-pin busy over gate — external load)",
+            "",
+            "| epoch | off-pin busy (gate {:.0%}) | loadavg before N / 4N | "
+            "batch eff | e2e eff | sustained eff | docs/s batch N->4N | "
+            "docs/s sustained N->4N |".format(OFFPIN_BUSY_REJECT),
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for e in rejected:
+            md.append(_row(e))
+    md += [
+        "",
+        "History (same N-vs-4N protocol, pre-gating): sustained eff "
+        "r2 0.88, r3 0.89, r4 median 0.86 [0.80-1.06]; batch r2 0.85, "
+        "r3 0.94, r4 median 0.73 [0.65-0.99] (two of three r4 epochs "
+        "were later shown load-polluted — the gate now rejects those "
+        "automatically instead of leaving it to post-hoc analysis).",
+        "",
+        "Raw JSON (accepted epochs; 1-executor line then 4-executor "
+        "line each):",
+        "```json",
+    ]
+    for e in accepted:
+        md.append(json.dumps(e["results"][lo]))
+        md.append(json.dumps(e["results"][hi]))
+    md += ["```", ""]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(md))
-    print(f"efficiencies: {effs}")
+    with open(os.path.join(REPO, "BENCH", "scaling_epochs.json"), "w") as fh:
+        json.dump({"accepted": accepted, "rejected": rejected,
+                   "gate_offpin": OFFPIN_BUSY_REJECT,
+                   "median_eff": med}, fh, indent=1, default=str)
+    print(f"median efficiencies over {len(accepted)} accepted epochs: "
+          f"{ {k: round(v, 3) for k, v in med.items()} }")
 
 
 if __name__ == "__main__":

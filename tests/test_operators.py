@@ -765,6 +765,42 @@ def test_decontaminate_flags_shared_runs(spark):
     assert [r["doc_id"] for r in clean.collect()] == [2]
 
 
+def test_curate_new_stages(spark):
+    """curate() round-5 stages compose: C4 line cleaning rewrites text
+    and drops thin docs, PII is redacted in place (and counted), the
+    document-level Gopher gates drop bullet-heavy docs — and the funnel
+    stats stay monotone."""
+    from jobs.curate import curate
+
+    keeper = ("The quick brown fox jumps over the lazy dog today.\n"
+              "Then the fox runs through the green field happily.\n"
+              "While the farmer watches the sky and clouds drift by.\n"
+              "And the children play by the water under the bridge.")
+    with_pii = ("The miller can be reached at mill.owner@example.com "
+                "for all the corn grinding needs of the village.\n"
+                "Please call 555-010-4242 to book the the old barn.\n"
+                "And the server lives at 10.1.2.3 for the records.\n"
+                "The rest of the document is perfectly ordinary text.")
+    thin = "Short line.\nAlso short.\nTiny."        # C4 drops every line
+    bullets = ("• the first bullet item\n• the second bullet item\n"
+               "• the third bullet item\n• the fourth bullet item")
+    rows = [(1, keeper, "s0"), (2, with_pii, "s0"),
+            (3, thin, "s1"), (4, bullets, "s1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    curated, stats = curate(spark, docs, jaccard=0.5, min_tokens=10,
+                            c4_line_delim="\n", doc_gates=True,
+                            repetition_gate=False)
+    kept = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert sorted(kept) == [1, 2], (sorted(kept), stats)
+    assert "<EMAIL>" in kept[2] and "<PHONE>" in kept[2] \
+        and "<IP>" in kept[2]
+    assert "example.com" not in kept[2] and "10.1.2.3" not in kept[2]
+    assert stats["after_c4_clean"] == 3      # thin doc dropped
+    assert stats["pii_docs_scrubbed"] == 1
+    assert stats["after_gate"] == 2          # bullets dropped by doc gates
+    assert stats["dropped_total"] == 2
+
+
 def test_curate_with_holdout(spark):
     """curate(holdout=...) drops curated docs leaking into the eval set
     and reports the decontaminated count in the funnel stats."""

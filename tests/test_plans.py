@@ -183,3 +183,71 @@ def test_adjacent_pattern_is_single_window_pass(spark):
     plan = _plan(entrymod.queries()["q73_adjacent_pattern"](spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sequence_match_is_single_window_pass(spark):
+    """q82 (k-step CEP): k-1 lead() columns must share one keyed sort —
+    exactly one Exchange, at most one Sort, no join, regardless of k."""
+    plan = _plan(entrymod.queries()["q82_sequence_match"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    n_sorts = sum(1 for ln in plan.splitlines()
+                  if ln.strip().lstrip("+-* ").startswith("Sort "))
+    assert n_sorts <= 1, plan
+
+
+def test_aqe_skew_join_actually_engages(spark):
+    """Evidence the skew path FIRES, not just that configs are set: a
+    Zipf-hot join key under tuned AQE skew thresholds must show
+    skew=true (OptimizeSkewedJoin split the hot partition) in the
+    final adaptive plan. This is the runtime half of the skew story —
+    operators/skew.py's salting covers the cases AQE can't see."""
+    import pyspark.sql.functions as F
+
+    keys = ["spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold"]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        # force sort-merge: skew splitting applies to SMJ, and at real
+        # scale neither side of a hot-domain join fits broadcast anyway
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # 90% of the big side lands on one key — the head-domain shape
+        big = (spark.range(300_000)
+               .withColumn("k", F.when(F.col("id") % 10 < 9, F.lit(0))
+                           .otherwise(F.col("id") % 1000))
+               .withColumn("pay", F.md5(F.col("id").cast("string"))))
+        dim = (spark.range(1000).withColumn("k", F.col("id"))
+               .withColumn("label", F.md5(F.col("id").cast("string"))))
+        j = big.join(dim, "k").select("k", "pay", "label")
+        # execute THIS dataframe's own plan (count() would build a new
+        # one and leave j's AdaptiveSparkPlan unfinalized), then read
+        # the final adaptive plan back
+        n = len(j.toPandas())
+        assert n == 300_000
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

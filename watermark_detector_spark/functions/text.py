@@ -279,6 +279,23 @@ def ellipsis_line_fraction(text: Column, delim: str = "\n") -> Column:
     )
 
 
+def gopher_gates_keep(text: Column, line_delim: str = "\n",
+                      min_words: int = 50, max_words: int = 100_000,
+                      min_alpha_frac: float = 0.80, min_stopwords: int = 2,
+                      max_bullet_frac: float = 0.90,
+                      max_ellipsis_frac: float = 0.30) -> Column:
+    """The composite document-level keep gate as ONE boolean column —
+    for inline ``where()`` use in pipelines (no join, rides the scan);
+    ``gopher_gates`` below returns the per-rule metrics for auditing."""
+    return (
+        token_count(text).between(min_words, max_words)
+        & (alpha_word_fraction(text) >= min_alpha_frac)
+        & (stopword_count(text) >= min_stopwords)
+        & (bullet_line_fraction(text, line_delim) <= max_bullet_frac)
+        & (ellipsis_line_fraction(text, line_delim) <= max_ellipsis_frac)
+    )
+
+
 def gopher_gates(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", line_delim: str = "\n",
                  min_words: int = 50, max_words: int = 100_000,
