@@ -990,6 +990,44 @@ def _q82_sequence_match(spark, sf: str) -> DataFrame:
     return sequence_match(e, ["view", "view", "click"], max_gap_s=86400)
 
 
+def _q83_url_filter(spark, sf: str) -> DataFrame:
+    """URL hygiene filtering (RefinedWeb §3.1 re-expressed): ad/tracker
+    host prefixes, spam tokens, path-depth and query-param-farm caps —
+    regex-only codegen columns (functions/domains.url_*), no parse_url,
+    so the identical feature definitions replay in DuckDB. The fixture
+    corpus has no URLs, so the query SYNTHESIZES one per doc as a
+    deterministic function of (doc_id, source) on BOTH engines — depth,
+    params, blocked prefix and banned token all vary."""
+    from watermark_detector_spark.functions.domains import (
+        url_host,
+        url_keep,
+        url_n_params,
+        url_path_depth,
+    )
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 7 == 0, F.lit("ads.")).otherwise(F.lit("www.")),
+        F.col("source"), F.lit(".com"),
+        F.expr("repeat('/p', CAST(doc_id % 9 AS INT))"),
+        F.when(did % 11 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        F.lit("/page"),
+        F.when(did % 5 == 0,
+               F.lit("?utm_a=1&utm_b=2&utm_c=3&utm_d=4&utm_e=5"))
+        .when(did % 3 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url",
+        url_host(F.col("url")).alias("host"),
+        url_path_depth(F.col("url")).alias("path_depth"),
+        url_n_params(F.col("url")).alias("n_params"),
+        url_keep(F.col("url")).alias("keep"),
+    )
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1436,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_pii_scrub": _q80_pii_scrub,
         "q81_stream_sequence": _q81_stream_sequence,
         "q82_sequence_match": _q82_sequence_match,
+        "q83_url_filter": _q83_url_filter,
         # -- priority block: no driver CORRECTNESS row yet (batch first) --
         "q63_recursive_cte": _q63_recursive_cte,
         "q64_variant_json": _q64_variant_json,
@@ -2083,6 +2122,50 @@ def oracle_sql() -> dict[str, str]:
                         WHEN funnel_level >= 2 THEN t1
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q83_url_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://'
+                       || CASE WHEN doc_id % 7 = 0 THEN 'ads.'
+                               ELSE 'www.' END
+                       || source || '.com'
+                       || repeat('/p', CAST(doc_id % 9 AS INT))
+                       || CASE WHEN doc_id % 11 = 0 THEN '/casino'
+                               ELSE '' END
+                       || '/page'
+                       || CASE WHEN doc_id % 5 = 0
+                            THEN '?utm_a=1&utm_b=2&utm_c=3&utm_d=4&utm_e=5'
+                            WHEN doc_id % 3 = 0 THEN '?q=1'
+                            ELSE '' END AS url
+              FROM documents),
+            f AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                           '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+                     regexp_replace(regexp_extract(url,
+                           '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1),
+                           '/+$', '') AS p,
+                     regexp_extract(url, '\?([^#]*)', 1) AS q
+              FROM u)
+            SELECT doc_id, url, host,
+                   CAST(length(p) - length(replace(p, '/', ''))
+                        AS BIGINT) AS path_depth,
+                   CAST(CASE WHEN q = '' THEN 0
+                        ELSE length(q) - length(replace(q, '&', '')) + 1
+                        END AS BIGINT) AS n_params,
+                   (host != '' AND length(url) <= 512
+                    AND length(p) - length(replace(p, '/', '')) <= 6
+                    AND (CASE WHEN q = '' THEN 0
+                         ELSE length(q) - length(replace(q, '&', '')) + 1
+                         END) <= 4
+                    AND NOT starts_with(host, 'ads.')
+                    AND NOT starts_with(host, 'track.')
+                    AND NOT starts_with(host, 'cdn.')
+                    AND NOT contains(lower(url), 'casino')
+                    AND NOT contains(lower(url), 'viagra')
+                    AND NOT contains(lower(url), 'xxx')) AS keep
+            FROM f
         """,
         "q82_sequence_match": """
             WITH l AS (

@@ -717,6 +717,44 @@ def test_c4_clean_line_rules(spark):
     assert b["n_lines_kept"] == 4 and not b["keep"]
 
 
+def test_url_filter_rules(spark):
+    """URL hygiene gate: each rule (blocked host prefix, banned token,
+    depth cap, param-farm cap, length cap, unparseable) fires
+    independently; clean URLs keep."""
+    from watermark_detector_spark.functions.domains import (
+        url_host,
+        url_keep,
+        url_n_params,
+        url_path_depth,
+    )
+
+    rows = [
+        (1, "https://www.example.com/a/b/page?q=1"),
+        (2, "https://ads.example.com/page"),
+        (3, "https://www.example.com/visit/the/casino/page"),
+        (4, "https://www.example.com/a/b/c/d/e/f/g/page"),
+        (5, "https://www.example.com/p?a=1&b=2&c=3&d=4&e=5"),
+        (6, "not a url at all"),
+        (7, "https://www.example.com/" + "x" * 600),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id",
+        url_host(F.col("url")).alias("host"),
+        url_path_depth(F.col("url")).alias("depth"),
+        url_n_params(F.col("url")).alias("np"),
+        url_keep(F.col("url")).alias("keep"),
+    ).collect()}
+    assert out[1]["keep"] and out[1]["host"] == "www.example.com"
+    assert out[1]["depth"] == 3 and out[1]["np"] == 1
+    assert not out[2]["keep"]                    # ads. prefix
+    assert not out[3]["keep"]                    # banned token
+    assert not out[4]["keep"] and out[4]["depth"] == 8
+    assert not out[5]["keep"] and out[5]["np"] == 5
+    assert not out[6]["keep"] and out[6]["host"] == ""
+    assert not out[7]["keep"]                    # length cap
+
+
 def test_pii_scrub_patterns(spark):
     """PII scrub: each pattern replaces with its typed token, counts
     come from the original text, clean docs untouched, and '<SSN>'
