@@ -48,15 +48,21 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(float)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    # Sort on floats ROUNDED to the comparison tolerance (1e-9), non-
-    # float columns first: raw float sort keys would let sub-tolerance
+    # Sort on floats rounded to 8 SIGNIFICANT digits (relative, not
+    # absolute — allclose's tolerance is rtol-dominated at large
+    # magnitudes, where a fixed decimal rounding is a no-op), non-float
+    # columns first: raw float sort keys would let sub-tolerance
     # cross-engine jitter permute rows that tie on every other column,
-    # turning a value-equal result into a spurious mismatch.
+    # turning a value-equal result into a spurious mismatch. 1e-7
+    # relative sits between the observed cross-engine jitter (~1e-9
+    # rel) and the comparison tolerance (rtol 1e-5).
     keys = df.copy()
     float_cols = [c for c in keys.columns
                   if pd.api.types.is_float_dtype(keys[c])]
     for c in float_cols:
-        keys[c] = keys[c].round(9)
+        v = keys[c].to_numpy(dtype=float)
+        mag = np.floor(np.log10(np.maximum(np.abs(v), 1e-300)))
+        keys[c] = np.round(v / 10.0 ** mag, 7) * 10.0 ** mag
     order = ([c for c in keys.columns if c not in float_cols]
              + float_cols)
     return df.loc[keys.sort_values(order).index].reset_index(drop=True)

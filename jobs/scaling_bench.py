@@ -84,7 +84,11 @@ def _proc_stat() -> dict[int, tuple[int, int]]:
 
 def offpin_busy_fraction(before: dict, after: dict, n_pinned: int) -> float:
     """Mean busy fraction over the NON-pinned cores between two
-    /proc/stat samples — external load, by construction."""
+    /proc/stat samples — external load, by construction. Returns NaN
+    (gate unavailable, NOT a clean 0.0) when the pin covers every host
+    core — on such a host the gate cannot observe external load and
+    silently accepting would defeat its purpose; main() surfaces the
+    NaN in the report instead."""
     fracs = []
     for cpu in before:
         if cpu < n_pinned or cpu not in after:
@@ -93,7 +97,7 @@ def offpin_busy_fraction(before: dict, after: dict, n_pinned: int) -> float:
         dt = after[cpu][1] - before[cpu][1]
         if dt > 0:
             fracs.append(db / dt)
-    return sum(fracs) / len(fracs) if fracs else 0.0
+    return sum(fracs) / len(fracs) if fracs else float("nan")
 
 
 def run_bench(n_executors: int) -> dict:
@@ -153,7 +157,9 @@ def main() -> None:
             results[n] = run_bench(n)
             print(f"epoch {attempt} local-cluster[{n},{EXEC_CORES}]: "
                   f"{json.dumps(results[n])}", flush=True)
-        worst_offpin = max(results[n]["offpin_busy"] for n in LEVELS)
+        offpins = [results[n]["offpin_busy"] for n in LEVELS]
+        worst_offpin = (float("nan") if any(o != o for o in offpins)
+                        else max(offpins))
         epoch = {"attempt": attempt, "results": results,
                  "worst_offpin": worst_offpin,
                  "effs": {}}
@@ -161,18 +167,22 @@ def main() -> None:
             if key in results[lo] and key in results[hi]:
                 epoch["effs"][key] = (
                     (results[hi][key] / results[lo][key]) / (hi / lo))
-        ok = worst_offpin <= OFFPIN_BUSY_REJECT
+        # NaN (pin covers all host cores -> gate blind) counts as
+        # accepted-but-flagged: the per-epoch table shows the NaN
+        ok = not (worst_offpin > OFFPIN_BUSY_REJECT)
         (accepted if ok else rejected).append(epoch)
         print(f"epoch {attempt}: offpin_busy={worst_offpin:.3f} "
               f"(gate {OFFPIN_BUSY_REJECT}) -> "
               f"{'ACCEPT' if ok else 'REJECT'} | effs="
               f"{ {k: round(v, 2) for k, v in epoch['effs'].items()} }",
               flush=True)
+    gate_passed = bool(accepted)
     if not accepted:
-        print("NO accepted epochs — host never quiet; report the "
-              "rejected data honestly instead of silently passing")
+        # host never quiet: still report the data, but LABELED as
+        # rejected — never relabel gate-failing epochs as accepted
+        print("NO accepted epochs — host never quiet; reporting over "
+              "REJECTED epochs, labeled as such")
         accepted = rejected
-        rejected = []
 
     med = {}
     rng = {}
@@ -191,8 +201,13 @@ def main() -> None:
         "records the busy fraction of the host cores OUTSIDE its taskset "
         "pin — external load by construction — and epochs with off-pin "
         f"busy > {OFFPIN_BUSY_REJECT:.0%} are auto-rejected; the headline "
-        f"is the MEDIAN over {len(accepted)} accepted epochs, "
-        f"{len(rejected)} rejected). Cluster stand-in: Spark local-cluster "
+        + (f"is the MEDIAN over {len(accepted)} accepted epochs, "
+           f"{len(rejected) - len(accepted) if not gate_passed else len(rejected)} rejected"
+           if gate_passed else
+           f"is over {len(accepted)} epochs that ALL FAILED the load "
+           "gate — the host was never quiet; treat every number below "
+           "as load-polluted")
+        + "). Cluster stand-in: Spark local-cluster "
         "mode — each executor is a SEPARATE JVM (own heap, GC, python "
         "worker pool) with the engine shipped via py-files, exactly as "
         "spark-submit would. N=1 executor x 4 cores vs 4N=4 executors x 4 "
@@ -211,7 +226,8 @@ def main() -> None:
         "= min of 3 runs, streaming min of 3 after one untimed warm run.",
         "",
         f"## Scaling efficiency — median [min-max] over {len(accepted)} "
-        "load-gated epochs",
+        + ("load-gated epochs" if gate_passed
+           else "epochs (ALL gate-REJECTED — load-polluted)"),
         "",
         "| pipeline | eff median [range] | target |",
         "|---|---|---|",
@@ -225,7 +241,8 @@ def main() -> None:
                 f"| {bold}>=0.8{bold} |")
     md += [
         "",
-        "## Per-epoch detail (accepted)",
+        "## Per-epoch detail ("
+        + ("accepted" if gate_passed else "all gate-rejected") + ")",
         "",
         "| epoch | off-pin busy (gate {:.0%}) | loadavg before N / 4N | "
         "batch eff | e2e eff | sustained eff | docs/s batch N->4N | "
@@ -249,7 +266,7 @@ def main() -> None:
 
     for e in accepted:
         md.append(_row(e))
-    if rejected:
+    if rejected and gate_passed:
         md += [
             "",
             "## Rejected epochs (off-pin busy over gate — external load)",
@@ -281,10 +298,13 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(md))
     with open(os.path.join(REPO, "BENCH", "scaling_epochs.json"), "w") as fh:
-        json.dump({"accepted": accepted, "rejected": rejected,
+        json.dump({"accepted": accepted if gate_passed else [],
+                   "rejected": rejected,
+                   "gate_passed": gate_passed,
                    "gate_offpin": OFFPIN_BUSY_REJECT,
                    "median_eff": med}, fh, indent=1, default=str)
-    print(f"median efficiencies over {len(accepted)} accepted epochs: "
+    label = "accepted" if gate_passed else "gate-REJECTED (load-polluted)"
+    print(f"median efficiencies over {len(accepted)} {label} epochs: "
           f"{ {k: round(v, 3) for k, v in med.items()} }")
 
 
