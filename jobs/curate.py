@@ -74,6 +74,11 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
 
     stats = {"input": docs.count()}
 
+    # the rewrite stages below each need a count over their output AND
+    # feed the downstream lineage — persist once so neither the stat
+    # counts nor the scoring pass re-run the scan+join (the
+    # materialize-once contract in the module docstring)
+    staged = None
     if c4_line_delim is not None:
         # C4 line cleaning (opt-in; pass the corpus line delimiter):
         # rewrite text to the surviving lines, drop docs below the
@@ -85,7 +90,8 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         docs = (docs.drop("text")
                 .join(cleaned.where("keep")
                       .select("doc_id", F.col("clean_text").alias("text")),
-                      "doc_id"))
+                      "doc_id")).persist()
+        staged = docs
         stats["after_c4_clean"] = docs.count()
 
     if pii_scrub:
@@ -93,19 +99,20 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         # downstream can memorize or fingerprint them; a rewrite, not
         # a filter (doc count unchanged — scrubbed doc count recorded)
         from watermark_detector_spark.functions.pii import (
+            PII_PATTERNS,
             pii_count,
             scrub_col,
         )
-        from watermark_detector_spark.functions.pii import PII_PATTERNS
 
+        if staged is None:
+            docs = docs.persist()
+            staged = docs
         n_pii = None
         for k, _, _ in PII_PATTERNS:
             c = pii_count(F.col("text"), k)
             n_pii = c if n_pii is None else n_pii + c
-        docs = docs.withColumn("_n_pii", n_pii) \
-            .withColumn("text", scrub_col(F.col("text")))
-        stats["pii_docs_scrubbed"] = docs.where("_n_pii > 0").count()
-        docs = docs.drop("_n_pii")
+        stats["pii_docs_scrubbed"] = docs.where(n_pii > 0).count()
+        docs = docs.withColumn("text", scrub_col(F.col("text")))
 
     scored = docs.select(
         "*",
@@ -130,6 +137,8 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
             min_words=1, max_words=1 << 60)
     gated = scored.where(gate_cond).persist()
     stats["after_gate"] = gated.count()
+    if staged is not None:
+        staged.unpersist()
 
     if repetition_gate:
         # Gopher/C4 repetition & boilerplate rules: keep-flag semi-join on

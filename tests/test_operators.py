@@ -684,6 +684,24 @@ def test_gopher_gates_hand_computed(spark):
     assert out[6]["ellipsis_line_frac"] == 1.0 and not out[6]["keep"]
 
 
+def test_line_delim_is_literal(spark):
+    """line_delim is a LITERAL separator everywhere (curate exposes it
+    as user input): a regex-metachar delimiter like '|' must split on
+    the character itself, not shred the text per-character, and
+    c4_clean must round-trip split/re-join symmetrically."""
+    from watermark_detector_spark.functions.text import c4_clean, lines_col
+
+    docs = spark.createDataFrame(
+        [(1, "the first proper segment here.|second decent segment "
+             "follows now.|third one closes it out properly.")],
+        "doc_id long, text string")
+    row = docs.select(lines_col(F.col("text"), "|").alias("l")).collect()[0]
+    assert len(row["l"]) == 3, row["l"]
+    out = c4_clean(docs, line_delim="|", min_lines_kept=3).collect()[0]
+    assert out["n_lines"] == 3 and out["n_lines_kept"] == 3
+    assert out["keep"] and out["clean_text"].count("|") == 2
+
+
 def test_c4_clean_line_rules(spark):
     """C4 line cleaning: terminal-punctuation requirement, min words
     per line, banned line word, banned doc phrase, min surviving

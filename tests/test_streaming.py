@@ -793,6 +793,27 @@ def test_pattern_match_stream_expires_dead_heads(spark, tmp_path_factory):
     assert state_rows and state_rows[-1] == 1, state_rows
 
 
+def test_vacuum_empty_compact_dir_ages_out(spark, tmp_path_factory):
+    """An ABANDONED empty compact_* dir (compactor crashed between
+    mkdir and first write) must still age out of vacuum on a real
+    filesystem via its own mtime — while a freshly-created empty dir
+    stays protected by the retention window."""
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    root = str(tmp_path_factory.mktemp("sink_empty_compact"))
+    sink = ExactlyOnceParquetSink(root, output_partitions=2)
+    sink.write_batch(spark.range(5).withColumnRenamed("id", "v"), 0)
+    old = os.path.join(root, "data", "compact_90-99")
+    os.makedirs(old)
+    os.utime(old, (1600000000, 1600000000))        # abandoned years ago
+    fresh = os.path.join(root, "data", "compact_70-79")
+    os.makedirs(fresh)                              # mtime = now
+    assert sink.vacuum(retention_s=300) == 1        # old swept
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)                    # fresh protected
+    assert sorted(r["v"] for r in sink.read(spark).collect()) == list(range(5))
+
+
 def test_sequence_match_stream_semantics(spark, tmp_path_factory):
     """k-step streaming CEP: a window completed ACROSS batch boundaries
     via the retained finalized tail emits; a window broken by a

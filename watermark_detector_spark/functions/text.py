@@ -102,9 +102,15 @@ def prefix_fingerprint(text: Column, n_tokens: int = 5) -> Column:
 
 
 def lines_col(text: Column, delim: str = "\n") -> Column:
-    """Trimmed, non-empty line segments (``delim`` is a Java regex)."""
+    """Trimmed, non-empty line segments. ``delim`` is a LITERAL string
+    (quoted with \\Q..\\E before hitting Java's regex split): every
+    caller — the Gopher line rules, c4_clean's split-and-rejoin, and
+    curate's user-supplied --c4-line-delim — means a literal separator,
+    and the DuckDB oracles replay it with literal str_split; a regex
+    delim like '|' or '.' would silently shred text per-character."""
+    quoted = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     return F.filter(
-        F.transform(F.split(text, delim), lambda s: F.trim(s)),
+        F.transform(F.split(text, quoted), lambda s: F.trim(s)),
         lambda s: s != "",
     )
 

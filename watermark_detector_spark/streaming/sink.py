@@ -401,16 +401,21 @@ class ExactlyOnceParquetSink:
         return swept
 
     def _newest_mtime(self, d: str) -> float:
-        """Newest FILE mtime under *d* (the dir's own status only when
-        empty). Object stores (s3a) report synthetic-directory mtime as 0,
-        which would make a directory-status retention gate pass
-        immediately and let vacuum delete a concurrent compactor's
-        written-but-not-yet-published compact_* dir; the newest contained
-        file reflects actual write recency on every Hadoop FS scheme.
-        An EMPTY directory is treated as brand-new (now): a concurrent
-        compactor may have just created it and not yet written files,
-        and falling back to the directory's own status would reintroduce
-        the synthetic-mtime=0 hole this method exists to close."""
+        """Newest FILE mtime under *d*. Object stores (s3a) report
+        synthetic-directory mtime as 0, which would make a
+        directory-status retention gate pass immediately and let vacuum
+        delete a concurrent compactor's written-but-not-yet-published
+        compact_* dir; the newest contained file reflects actual write
+        recency on every Hadoop FS scheme. An EMPTY directory uses its
+        own mtime when the filesystem reports a real one (> 0: file://,
+        hdfs — so an ABANDONED empty dir from a crashed compactor still
+        ages out instead of leaking forever) and is treated as
+        brand-new (now) only when the mtime is the synthetic 0 of an
+        object store, where a concurrent compactor may have just
+        created it."""
         fs = self.fs
         times = [fs.mtime(os.path.join(d, f)) for f in fs.listdir(d)]
-        return max(times) if times else time.time()
+        if times:
+            return max(times)
+        own = fs.mtime(d)
+        return own if own > 0 else time.time()

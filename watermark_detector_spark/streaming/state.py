@@ -391,6 +391,12 @@ def sequence_match_stream(events: DataFrame, steps: list[str],
     Emission contract (what the q81 oracle replays): exactly the
     matches whose last event time is strictly below the final
     watermark."""
+    if len(steps) < 2:
+        # fail on the driver with the same contract as the batch twin —
+        # an empty/1-step list would otherwise die inside an executor
+        # (IndexError) or silently diverge from sequence_match
+        raise ValueError(
+            f"sequence_match_stream needs >= 2 steps, got {len(steps)}")
     return (
         events.select("user_id", "ts", "event_type", "event_id")
         .withWatermark("ts", watermark)
