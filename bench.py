@@ -266,7 +266,11 @@ def _finish(spark, timings, extras, cores):
                      "q44_lsh_ann_candidates", "q45_near_dup_pairs",
                      "q59_dedup_clusters",
                      # round-4 additions: corpus quality gates + CEP
-                     "q70_quality_rules", "q72_funnel"]:
+                     "q70_quality_rules", "q72_funnel",
+                     # round-5 additions: doc-level gates, PII scrub,
+                     # k-step CEP (all scan-bound except q82's window)
+                     "q78_gopher_gates", "q80_pii_scrub",
+                     "q82_sequence_match"]:
             t0 = time.time()
             q[name](spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)

@@ -793,6 +793,37 @@ def test_pattern_match_stream_expires_dead_heads(spark, tmp_path_factory):
     assert state_rows and state_rows[-1] == 1, state_rows
 
 
+def test_sink_time_travel_read(spark, tmp_path_factory):
+    """read(as_of_batch=N) returns the table exactly as of batch N
+    (Iceberg snapshot-read analog): before compaction, after compaction
+    while the shadowed per-batch files survive the retention window,
+    and raises the documented expired-snapshot error once vacuum has
+    folded history past the cut."""
+    import pytest as _pytest
+
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    root = str(tmp_path_factory.mktemp("sink_tt"))
+    sink = ExactlyOnceParquetSink(root, output_partitions=2,
+                                  vacuum_retention_s=0)
+    for b in range(5):
+        sink.write_batch(
+            spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "v"), b)
+    tt = lambda n: sorted(
+        r["v"] for r in sink.read(spark, as_of_batch=n).collect())
+    assert tt(0) == list(range(10))
+    assert tt(2) == list(range(30))
+    assert tt(4) == list(range(50))
+    assert tt(99) == list(range(50))      # beyond head == current
+    sink.compact(spark, vacuum=False)     # folds 0-4, per-batch kept
+    assert tt(2) == list(range(30))       # straddling cut -> batch dirs
+    assert tt(4) == list(range(50))       # fully covered -> compact dir
+    sink.vacuum()                         # retention 0: history folded
+    assert tt(4) == list(range(50))
+    with _pytest.raises(ValueError, match="EXPIRED"):
+        sink.read(spark, as_of_batch=2)
+
+
 def test_vacuum_empty_compact_dir_ages_out(spark, tmp_path_factory):
     """An ABANDONED empty compact_* dir (compactor crashed between
     mkdir and first write) must still age out of vacuum on a real

@@ -280,10 +280,45 @@ class ExactlyOnceParquetSink:
             for r in ranges
         ] + [os.path.join(self.data_dir, f"batch_id={b}") for b in singles]
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        paths = self._data_paths()
+    def read(self, spark: SparkSession,
+             as_of_batch: int | None = None) -> DataFrame:
+        """Read the committed snapshot. With ``as_of_batch`` TIME-TRAVEL
+        to the table as of that batch id (Iceberg snapshot-read analog;
+        the manifest ledger IS the snapshot history): only batches with
+        id <= as_of_batch are read. A compacted range lying fully at or
+        below the cut reads from its compact dir; a range STRADDLING the
+        cut falls back to the shadowed per-batch dirs, which exist until
+        vacuum's retention expires them — past that the snapshot is
+        expired (exactly Iceberg's expire_snapshots contract) and the
+        read raises rather than returning partial data."""
+        if as_of_batch is None:
+            paths = self._data_paths()
+            if not paths:
+                raise ValueError(f"no committed batches under {self.root}")
+            return spark.read.parquet(*paths)
+        fs = self.fs
+        ranges, singles = self._manifest_state()
+        paths = []
+        for r in ranges:
+            if r["hi"] <= as_of_batch:
+                paths.append(os.path.join(
+                    self.data_dir, f"compact_{r['lo']}-{r['hi']}"))
+            elif r["lo"] <= as_of_batch:
+                for b in range(r["lo"], as_of_batch + 1):
+                    p = os.path.join(self.data_dir, f"batch_id={b}")
+                    if not fs.exists(p):
+                        raise ValueError(
+                            f"snapshot as_of_batch={as_of_batch} is "
+                            f"EXPIRED: batch {b} was folded into "
+                            f"compact_{r['lo']}-{r['hi']} and its "
+                            "per-batch files were vacuumed")
+                    paths.append(p)
+        paths += [os.path.join(self.data_dir, f"batch_id={b}")
+                  for b in singles if b <= as_of_batch]
         if not paths:
-            raise ValueError(f"no committed batches under {self.root}")
+            raise ValueError(
+                f"no committed batches at or before {as_of_batch} "
+                f"under {self.root}")
         return spark.read.parquet(*paths)
 
     # -- maintenance: small-file compaction (snapshot rewrite) -------------
