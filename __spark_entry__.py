@@ -563,6 +563,36 @@ _TMP_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp")
 # reused by every streaming query — six independent write+stream staging
 # cycles per correctness run was the harness's dominant fixed cost.
 _EVENTS_STAGE_CACHE: dict[str, tuple[str, object]] = {}
+_WARCISH_STAGE_CACHE: dict[str, str] = {}
+
+
+def _warcish_stage(spark, sf: str) -> str:
+    """Stage the documents table ONCE per (session, sf) as warcish
+    container files (written through the custom data source's own
+    writer) and register the source; q84 reads it back through the
+    custom reader — both halves of the format exercised."""
+    key = f"{id(spark)}:{sf}"
+    if key not in _WARCISH_STAGE_CACHE:
+        from watermark_detector_spark.sources.warcish import WarcishDataSource
+
+        spark.dataSource.register(WarcishDataSource)
+        d = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".com/doc/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+             + F.make_interval(secs=F.col("doc_id").cast("double"))
+             ).alias("warc_ts"),
+            F.col("lang"),
+            F.encode(F.col("text"), "UTF-8").alias("html"),
+        )
+        os.makedirs(_TMP_ROOT, exist_ok=True)
+        out = tempfile.mkdtemp(prefix="wmd_warcish_", dir=_TMP_ROOT)
+        d.repartition(4).write.format("warcish").mode("overwrite").save(out)
+        _WARCISH_STAGE_CACHE[key] = out
+        import atexit
+
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return _WARCISH_STAGE_CACHE[key]
 
 
 def _events_stream(spark, sf: str):
@@ -1028,6 +1058,24 @@ def _q83_url_filter(spark, sf: str) -> DataFrame:
     )
 
 
+def _q84_warcish_source(spark, sf: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API,
+    sources/warcish.py): documents staged as WARC-style record-framed
+    container files THROUGH the source's writer, read back through its
+    reader (one InputPartition per container file; metadata equality
+    filters pushed below payload materialization), then aggregated
+    per lang. The oracle replays the aggregate from the parquet table
+    directly — byte counts, timestamps and counts survive the container
+    round trip exactly or the hash mismatches."""
+    d = spark.read.format("warcish").load(_warcish_stage(spark, sf))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.length("html")).alias("total_bytes"),
+        F.date_format(F.min("warc_ts"), _TS_FMT_SPARK).alias("t_min"),
+        F.date_format(F.max("warc_ts"), _TS_FMT_SPARK).alias("t_max"),
+    )
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1475,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_stream_sequence": _q81_stream_sequence,
         "q82_sequence_match": _q82_sequence_match,
         "q83_url_filter": _q83_url_filter,
+        "q84_warcish_source": _q84_warcish_source,
         # -- priority block: no driver CORRECTNESS row yet (batch first) --
         "q63_recursive_cte": _q63_recursive_cte,
         "q64_variant_json": _q64_variant_json,
@@ -2122,6 +2171,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN funnel_level >= 2 THEN t1
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q84_warcish_source": f"""
+            SELECT lang,
+                   count(*) AS n_pages,
+                   CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+                   strftime(TIMESTAMP '2025-01-01 00:00:00'
+                            + to_seconds(min(doc_id)),
+                            '{_TS_FMT_DUCK}') AS t_min,
+                   strftime(TIMESTAMP '2025-01-01 00:00:00'
+                            + to_seconds(max(doc_id)),
+                            '{_TS_FMT_DUCK}') AS t_max
+            FROM documents
+            GROUP BY lang
         """,
         "q83_url_filter": """
             WITH u AS (

@@ -735,6 +735,48 @@ def test_c4_clean_line_rules(spark):
     assert b["n_lines_kept"] == 4 and not b["keep"]
 
 
+def test_warcish_source_roundtrip(spark, tmp_path_factory):
+    """Custom DataSource: write -> read round trip is byte/value exact
+    (url, timestamp micros, lang, payload incl. empty + non-ascii),
+    overwrite clears stale parts, filter pushdown prunes rows, and a
+    corrupt container fails loudly."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from watermark_detector_spark.sources.warcish import WarcishDataSource
+
+    spark.dataSource.register(WarcishDataSource)
+    root = str(tmp_path_factory.mktemp("warcish"))
+    df = spark.createDataFrame(
+        [("https://a.com/1", datetime(2025, 1, 1, 10, 0, 0, 123456), "en",
+          bytearray(b"<p>hello</p>")),
+         ("https://b.com/2", datetime(2025, 1, 1, 11, 0, 0), "de",
+          bytearray("<div>wält</div>".encode())),
+         ("https://c.com/3", datetime(2025, 1, 1, 12, 0, 0), "en",
+          bytearray(b""))],
+        "url string, warc_ts timestamp, lang string, html binary")
+    df.repartition(2).write.format("warcish").mode("overwrite").save(root)
+    back = spark.read.format("warcish").load(root)
+    got = {r["url"]: (r["warc_ts"], r["lang"], bytes(r["html"]))
+           for r in back.collect()}
+    want = {r["url"]: (r["warc_ts"], r["lang"], bytes(r["html"]))
+            for r in df.collect()}
+    assert got == want                      # incl. microsecond precision
+    # pushed equality filter on metadata drops records in the reader
+    assert back.where("lang = 'en'").count() == 2
+    assert back.where("url = 'https://b.com/2'").count() == 1
+    # overwrite clears stale parts (previous write had 2 partitions)
+    df.limit(1).repartition(1).write.format("warcish") \
+        .mode("overwrite").save(root)
+    assert spark.read.format("warcish").load(root).count() == 1
+    # corrupt container -> loud error, not silent skip
+    with open(f"{root}/part-bad.warcish", "wb") as fh:
+        fh.write(b"NOT A RECORD\n")
+    with _pytest.raises(Exception, match="magic|WARCISH|corrupt"):
+        spark.read.format("warcish").load(root).count()
+
+
 def test_url_filter_rules(spark):
     """URL hygiene gate: each rule (blocked host prefix, banned token,
     depth cap, param-farm cap, length cap, unparseable) fires

@@ -38,6 +38,9 @@ def engine_conf(cpus: int = DEFAULT_CPUS) -> dict[str, str]:
         "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
         # --- event-time stability ---
         "spark.sql.session.timeZone": "UTC",
+        # --- custom Python data sources (sources/warcish.py) push
+        #     metadata equality filters below payload materialization ---
+        "spark.sql.python.filterPushdown.enabled": "true",
         # --- scan sizing: partitions that fit executor memory at scale ---
         "spark.sql.files.maxPartitionBytes": "128m",
         # --- streaming state store: RocksDB when the build ships it;
