@@ -649,6 +649,54 @@ def _run_to_memory(stream_df, name: str, output_mode: str) -> None:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _run_to_memory_flush(stream_df, name: str, output_mode: str,
+                         timeout_s: float = 60.0) -> None:
+    """Like _run_to_memory, but with the DEFAULT micro-batch trigger +
+    an explicit wait for the no-data watermark-flush batch. Needed for
+    custom Python DataSource streams: Spark's availableNow wrapper for
+    them stops after the data batch WITHOUT the no-data batch that
+    advances the watermark, so append-mode windows would never emit on
+    a finite stream (native file sources do get that flush batch)."""
+    import json as _json
+    import time as _time
+
+    os.makedirs(_TMP_ROOT, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix="wmd_ckpt_", dir=_TMP_ROOT)
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            done = False
+            for pr in q.recentProgress:
+                d = pr if isinstance(pr, dict) else _json.loads(pr.json)
+                if d.get("batchId", 0) >= 1 and d.get("numInputRows") == 0:
+                    done = True  # the flush batch committed
+            if done:
+                break
+            _time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            try:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            except Exception:
+                pass
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q24_stream_tumbling(spark, sf: str) -> DataFrame:
     """Streaming tumbling-window aggregation with event-time watermark
     (append mode) — the flagship streaming operator on driver tables.
@@ -1074,6 +1122,33 @@ def _q84_warcish_source(spark, sf: str) -> DataFrame:
         F.date_format(F.min("warc_ts"), _TS_FMT_SPARK).alias("t_min"),
         F.date_format(F.max("warc_ts"), _TS_FMT_SPARK).alias("t_max"),
     )
+
+
+def _q85_warcish_stream(spark, sf: str) -> DataFrame:
+    """STREAMING read through the custom DataSource
+    (DataSourceStreamReader: lexicographic name-watermark offsets, one
+    InputPartition per new container file, checkpoint-resumable —
+    sources/warcish.py) feeding the flagship shape: event-time
+    watermark + tumbling window over warc_ts. Same append emission rule
+    as q24 (windows with end <= final watermark, max event time - 1
+    min), replayed by the oracle from the parquet originals."""
+    _warcish_stage(spark, sf)  # also registers the source
+    src = (spark.readStream.format("warcish")
+           .load(_WARCISH_STAGE_CACHE[f"{id(spark)}:{sf}"]))
+    agg = (
+        src.withWatermark("warc_ts", "1 minute")
+        .groupBy(F.window("warc_ts", "1 minute").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum(F.length("html")).alias("total_bytes"))
+        .select(
+            F.date_format(F.col("win.start"), _TS_FMT_SPARK)
+            .alias("window_start"),
+            "n_pages", "total_bytes",
+        )
+    )
+    name = "wmd_q85_" + uuid.uuid4().hex[:8]
+    _run_to_memory_flush(agg, name, "append")
+    return spark.table(name)
 
 
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
@@ -1524,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_sequence_match": _q82_sequence_match,
         "q83_url_filter": _q83_url_filter,
         "q84_warcish_source": _q84_warcish_source,
+        "q85_warcish_stream": _q85_warcish_stream,
         # -- priority block: no driver CORRECTNESS row yet (batch first) --
         "q63_recursive_cte": _q63_recursive_cte,
         "q64_variant_json": _q64_variant_json,
@@ -2171,6 +2247,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN funnel_level >= 2 THEN t1
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q85_warcish_stream": f"""
+            WITH pages AS (
+              SELECT TIMESTAMP '2025-01-01 00:00:00'
+                       + to_seconds(doc_id) AS ts,
+                     strlen(text) AS nb
+              FROM documents),
+            wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM pages),
+            agg AS (
+              SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS ws,
+                     CAST(count(*) AS BIGINT) AS n_pages,
+                     CAST(sum(nb) AS BIGINT) AS total_bytes
+              FROM pages GROUP BY 1)
+            SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+                   n_pages, total_bytes
+            FROM agg, wm WHERE ws + INTERVAL 1 MINUTE <= wm.w
         """,
         "q84_warcish_source": f"""
             SELECT lang,

@@ -793,6 +793,49 @@ def test_pattern_match_stream_expires_dead_heads(spark, tmp_path_factory):
     assert state_rows and state_rows[-1] == 1, state_rows
 
 
+def test_warcish_stream_reader_incremental_and_restart(spark, tmp_path_factory):
+    """Custom streaming source: each micro-batch reads only NEW
+    container files (name-watermark offsets), and a restart from
+    checkpoint resumes after the last committed file instead of
+    re-reading history."""
+    from watermark_detector_spark.sources.warcish import (
+        WarcishDataSource,
+        write_records,
+    )
+
+    spark.dataSource.register(WarcishDataSource)
+    root = tmp_path_factory.mktemp("warcish_stream")
+    src = root / "src"
+    src.mkdir()
+    ckpt = str(root / "ckpt")
+
+    def emit(i, urls):
+        write_records(
+            str(src / f"drop-{i:05d}.warcish"),
+            [(u, 1_700_000_000_000_000 + i, "en", b"<p>x</p>") for u in urls])
+
+    out = str(root / "out")
+
+    def run_once():
+        q = (spark.readStream.format("warcish").load(str(src))
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sorted(r["url"] for r in spark.read.parquet(out).collect())
+
+    emit(0, ["u0", "u1"])
+    emit(1, ["u2"])
+    assert run_once() == ["u0", "u1", "u2"]
+    emit(2, ["u3"])
+    # restart from checkpoint: only the new file is consumed — history
+    # is neither re-read nor duplicated in the file sink
+    assert run_once() == ["u0", "u1", "u2", "u3"]
+    # nothing new: a third run adds nothing (exactly-once)
+    assert run_once() == ["u0", "u1", "u2", "u3"]
+
+
 def test_sink_time_travel_read(spark, tmp_path_factory):
     """read(as_of_batch=N) returns the table exactly as of batch N
     (Iceberg snapshot-read analog): before compaction, after compaction

@@ -40,6 +40,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -144,6 +145,67 @@ class WarcishReader(DataSourceReader):
             )
 
 
+class WarcishStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over a growing directory of container
+    files. Offsets are positions in the LEXICOGRAPHIC file order —
+    container files are immutable once written and named monotonically
+    by convention (part-..., or any sortable scheme), so `latestOffset`
+    is a single directory listing and each micro-batch plans one
+    InputPartition per NEW file (same work-unit shape as the batch
+    reader; executors open only their own file). Offsets live in the
+    checkpoint WAL, so restart resumes exactly after the last committed
+    file — replay of a committed batch re-reads the same file set,
+    which is what exactly-once sinks downstream dedup on."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("warcish: .load(path) is required")
+
+    def _files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".warcish"))
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        files = self._files()
+        return {"last": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict):
+        # offsets are file NAMES (a lexicographic high-watermark), not
+        # list indices: a straggler file sorting below the consumed
+        # watermark can never shift other files' positions and corrupt
+        # replay — it is skipped, exactly like an event below an
+        # event-time watermark. Producer contract: streamed-in files
+        # must carry monotonically increasing names (timestamped or
+        # sequence-numbered, the norm for archive drops); the batch
+        # writer's uuid-suffixed parts do NOT guarantee this across
+        # separate append writes — use explicit names when producing
+        # for a stream.
+        return [
+            _FilePartition(os.path.join(self.dir, f))
+            for f in self._files()
+            if start["last"] < f <= end["last"]
+        ]
+
+    def read(self, partition: _FilePartition):
+        for url, ts_us, lang, payload in read_records(partition.path):
+            yield (
+                url,
+                datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
+                .replace(tzinfo=None),
+                lang,
+                payload,
+            )
+
+    def commit(self, end: dict) -> None:
+        # nothing to clean: files are immutable, offsets live in the
+        # streaming checkpoint
+        pass
+
+
 @dataclass
 class _WriteDone(WriterCommitMessage):
     path: str
@@ -206,6 +268,9 @@ class WarcishDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WarcishReader:
         return WarcishReader(self.options)
+
+    def streamReader(self, schema: StructType) -> WarcishStreamReader:  # noqa: N802
+        return WarcishStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> WarcishWriter:
         # overwrite semantics resolve HERE, on the driver, before any
