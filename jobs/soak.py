@@ -130,7 +130,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--span-min", type=int, default=600,
                     help="event-time span of the corpus in minutes")
-    ap.add_argument("--phases", default="flagship,track_best,session_stats")
+    ap.add_argument("--phases",
+                    default="flagship,track_best,session_stats,sequence_cep")
     args = ap.parse_args()
 
     from watermark_detector_spark.fixtures import FixtureConfig
@@ -140,7 +141,11 @@ def main() -> None:
     )
     from watermark_detector_spark.session import get_spark
     from watermark_detector_spark.sources.pages import read_pages_stream
-    from watermark_detector_spark.streaming.state import session_stats, track_best
+    from watermark_detector_spark.streaming.state import (
+        sequence_match_stream,
+        session_stats,
+        track_best,
+    )
 
     spark = get_spark(app_name="wmd-soak", cpus=args.cpus, extra_conf={
         "spark.sql.shuffle.partitions": "8",
@@ -159,10 +164,28 @@ def main() -> None:
     def kept():
         return kept_detections_fused(pages(), cfg.signatures)
 
+    def seq_events():
+        # detections re-keyed as a CEP event stream: domain is the key,
+        # category the step type — exercises the k-step sequence
+        # matcher's pending-buffer + finalized-tail state under 300
+        # watermark advances (tails must expire, buffers must drain)
+        from pyspark.sql import functions as F
+
+        k = kept()
+        return k.select(
+            F.xxhash64("domain").alias("user_id"),
+            F.col("warc_ts").alias("ts"),
+            F.col("category").alias("event_type"),
+            F.xxhash64("url").alias("event_id"),
+        )
+
     phase_fns = {
         "flagship": (lambda: flagship_stream(pages(), cfg.signatures), "append"),
         "track_best": (lambda: track_best(kept()), "update"),
         "session_stats": (lambda: session_stats(kept()), "append"),
+        "sequence_cep": (lambda: sequence_match_stream(
+            seq_events(), ["text", "text", "watermark"], max_gap_s=600,
+            watermark="10 minutes"), "append"),
     }
     out = {}
     for name in args.phases.split(","):
