@@ -1151,6 +1151,45 @@ def _q85_warcish_stream(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+_SINK_STAGE_CACHE: dict[str, str] = {}
+
+
+def _q86_sink_time_travel(spark, sf: str) -> DataFrame:
+    """Exactly-once sink TIME-TRAVEL read (Iceberg snapshot-read
+    analog, streaming/sink.read(as_of_batch=N)): documents committed as
+    5 micro-batches (batch b = doc_id % 5 == b, with batches 0 and 1
+    REPLAYED to prove the idempotent ledger — the replays must be
+    no-ops or the counts below double), then the table is read AS OF
+    batch 2 and aggregated. The oracle replays the snapshot predicate
+    (doc_id % 5 <= 2) against the raw table — commit lineage, replay
+    dedup and the snapshot cut all enter the hash."""
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    key = f"{id(spark)}:{sf}"
+    if key not in _SINK_STAGE_CACHE:
+        os.makedirs(_TMP_ROOT, exist_ok=True)
+        root = tempfile.mkdtemp(prefix="wmd_sink_tt_", dir=_TMP_ROOT)
+        sink = ExactlyOnceParquetSink(root, output_partitions=2)
+        d = _t(spark, sf, "documents")
+        for b in range(5):
+            sink.write_batch(d.where(F.col("doc_id") % 5 == b), b)
+        for b in (0, 1):  # replay: exactly-once no-op by ledger
+            sink.write_batch(d.where(F.col("doc_id") % 5 == b), b)
+        _SINK_STAGE_CACHE[key] = root
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    sink = ExactlyOnceParquetSink(_SINK_STAGE_CACHE[key],
+                                  output_partitions=2)
+    snap = sink.read(spark, as_of_batch=2)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1600,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_url_filter": _q83_url_filter,
         "q84_warcish_source": _q84_warcish_source,
         "q85_warcish_stream": _q85_warcish_stream,
+        "q86_sink_time_travel": _q86_sink_time_travel,
         # -- priority block: no driver CORRECTNESS row yet (batch first) --
         "q63_recursive_cte": _q63_recursive_cte,
         "q64_variant_json": _q64_variant_json,
@@ -2247,6 +2287,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN funnel_level >= 2 THEN t1
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q86_sink_time_travel": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM documents
+            WHERE doc_id % 5 <= 2
+            GROUP BY lang
         """,
         "q85_warcish_stream": f"""
             WITH pages AS (
