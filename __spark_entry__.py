@@ -1190,6 +1190,25 @@ def _q86_sink_time_travel(spark, sf: str) -> DataFrame:
     )
 
 
+def _q87_stratified_sample(spark, sf: str) -> DataFrame:
+    """Deterministic per-stratum sampling (language rebalancing):
+    downsample en to 30%, es to 60%, keep everything else whole —
+    membership a pure md5-bucket function of doc_id, so re-runs/engines
+    select identical rows (operators/sampling.stratified_sample). One
+    scan-side predicate, zero shuffle; the oracle replays the bucket
+    arithmetic and per-stratum thresholds in SQL."""
+    from watermark_detector_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return (
+        stratified_sample(d, {"en": 0.3, "es": 0.6})
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+    )
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1630,7 +1649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     already has a green row in CORRECTNESS_r01..r03). jobs/correctness.py
     additionally writes a repo-local artifact covering ALL queries."""
     return {
-        # -- new this round (round 5): certify first --
+        # -- new this round (round 5): certify first (the 50-entry
+        #    driver cap sees these before anything already green in
+        #    CORRECTNESS_r01..r04; union across rounds covers all) --
         "q78_gopher_gates": _q78_gopher_gates,
         "q79_c4_line_clean": _q79_c4_line_clean,
         "q80_pii_scrub": _q80_pii_scrub,
@@ -1640,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_warcish_source": _q84_warcish_source,
         "q85_warcish_stream": _q85_warcish_stream,
         "q86_sink_time_travel": _q86_sink_time_travel,
+        "q87_stratified_sample": _q87_stratified_sample,
         # -- priority block: no driver CORRECTNESS row yet (batch first) --
         "q63_recursive_cte": _q63_recursive_cte,
         "q64_variant_json": _q64_variant_json,
@@ -2287,6 +2309,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN funnel_level >= 2 THEN t1
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q87_stratified_sample": """
+            WITH b AS (
+              SELECT lang, doc_id,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS bucket
+              FROM documents),
+            kept AS (
+              SELECT lang, doc_id FROM b
+              WHERE bucket < CASE lang WHEN 'en' THEN 3000
+                                       WHEN 'es' THEN 6000
+                                       ELSE 10000 END)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM kept GROUP BY lang
         """,
         "q86_sink_time_travel": """
             SELECT lang,

@@ -1039,6 +1039,33 @@ def test_hash_split_rejects_bad_weights(spark):
     assert out[None] == "test"      # NULL key -> last split, every run
 
 
+def test_stratified_sample_deterministic(spark):
+    """stratified_sample: identical row selection under any
+    partitioning, per-stratum rates approximately honored, unlisted
+    strata kept whole, bad fractions rejected."""
+    import pytest as _pytest
+
+    from watermark_detector_spark.operators.sampling import stratified_sample
+
+    df = (spark.range(3000).withColumnRenamed("id", "doc_id")
+          .selectExpr("doc_id",
+                      "CASE WHEN doc_id % 3 = 0 THEN 'en' "
+                      "WHEN doc_id % 3 = 1 THEN 'es' ELSE 'fr' END AS lang"))
+    fr = {"en": 0.3, "es": 0.8}
+    a = sorted(r["doc_id"] for r in
+               stratified_sample(df.repartition(1), fr).collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(df.repartition(16), fr).collect())
+    assert a == b
+    got = stratified_sample(df, fr).groupBy("lang").count().collect()
+    n = {r["lang"]: r["count"] for r in got}
+    assert abs(n["en"] / 1000 - 0.3) < 0.05
+    assert abs(n["es"] / 1000 - 0.8) < 0.05
+    assert n["fr"] == 1000                       # unlisted: kept whole
+    with _pytest.raises(ValueError):
+        stratified_sample(df, {"en": 1.5})
+
+
 def test_domain_cap_quota(spark):
     """domain_cap keeps exactly min(cap, n) rows per key, the
     deterministically-first ones by order_col."""

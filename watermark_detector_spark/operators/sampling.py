@@ -76,3 +76,30 @@ def domain_cap(df: DataFrame, cap: int, key_col: str = "source",
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      stratum_col: str = "lang",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a hash-stable fraction
+    of each stratum (e.g. downsample head languages, keep all of tail
+    ones) — the language/domain rebalancing step of corpus
+    construction. Like hash_split, membership is a pure function of
+    the KEY (md5 bucket < fraction * N_BUCKETS), so re-runs, engine
+    ports and repartitioning all select the same rows — never
+    sample()/rand(), which would reshuffle the corpus every run.
+    Strata absent from ``fractions`` are kept whole (fraction 1.0).
+    Zero shuffle: one scan-side predicate."""
+    for s, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(
+                f"stratified_sample: fraction for {s!r} is {f}, "
+                "expected [0, 1]")
+    bucket = hash_bucket(F.col(key_col))
+    frac = None
+    for s, f in fractions.items():
+        thr = F.lit(int(round(f * N_BUCKETS)))
+        frac = (F.when(F.col(stratum_col) == s, thr) if frac is None
+                else frac.when(F.col(stratum_col) == s, thr))
+    frac = F.lit(N_BUCKETS) if frac is None else frac.otherwise(N_BUCKETS)
+    return df.where(bucket < frac)
