@@ -75,3 +75,22 @@ def test_spark_submit_py_files_end_to_end(tmp_path_factory, fixture_cfg):
         remaining = [m for m in os.listdir(root / "sink" / "_manifest")
                      if m.endswith(".json")]
         assert any(m.startswith("compact_") for m in remaining)
+
+    # custom Python DataSource in the same launch mode: the warcish
+    # class must round-trip through the py-files zip to executor-side
+    # python workers (write tasks) and back through the reader with a
+    # pushed filter — nothing imported from the driver working tree
+    res3 = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local-cluster[2,4,4096]",
+         "--conf", "spark.driver.memory=4g",
+         "--conf", "spark.sql.python.filterPushdown.enabled=true",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "warcish_roundtrip.py"),
+         "--out", str(root / "warcish"),
+         "--n", "600"],
+        capture_output=True, text=True, cwd=str(root), timeout=420,
+    )
+    assert res3.returncode == 0, res3.stderr[-3000:]
+    out3 = json.loads([ln for ln in res3.stdout.splitlines()
+                       if ln.startswith("{")][-1])
+    assert out3 == {"written": 600, "read": 600, "read_en": 200}
