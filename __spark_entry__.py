@@ -1151,6 +1151,37 @@ def _q85_warcish_stream(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q88_stream_quality_gate(spark, sf: str) -> DataFrame:
+    """Streaming curation front-end: the round-5 quality surface
+    (token count, Gopher document gates, PII counts) applied as
+    STATELESS projections over the custom warcish stream — no
+    watermark, no state, rows flow through at scan speed, so the
+    stream emits exactly the batch projection (which is the oracle).
+    This is the shape a 10^12-doc ingest runs: gate-at-the-edge before
+    anything stateful or shuffled sees the data."""
+    from watermark_detector_spark.functions.pii import pii_count
+    from watermark_detector_spark.functions.text import (
+        gopher_gates_keep,
+        token_count,
+    )
+
+    _warcish_stage(spark, sf)  # registers the source + stages files
+    src = (spark.readStream.format("warcish")
+           .load(_WARCISH_STAGE_CACHE[f"{id(spark)}:{sf}"]))
+    text = F.decode(F.col("html"), "UTF-8")
+    gated = src.select(
+        "url", "lang",
+        token_count(text).alias("n_tokens"),
+        gopher_gates_keep(F.concat(F.lit(" "), text, F.lit(" ")),
+                          line_delim=" a ", min_words=30,
+                          min_stopwords=1).alias("keep"),
+        pii_count(text, "email").alias("n_email"),
+    )
+    name = "wmd_q88_" + uuid.uuid4().hex[:8]
+    _run_to_memory(gated, name, "append")
+    return spark.table(name)
+
+
 _SINK_STAGE_CACHE: dict[str, str] = {}
 
 
@@ -1662,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_warcish_stream": _q85_warcish_stream,
         "q86_sink_time_travel": _q86_sink_time_travel,
         "q87_stratified_sample": _q87_stratified_sample,
+        "q88_stream_quality_gate": _q88_stream_quality_gate,
         # -- priority block: no driver CORRECTNESS row yet (batch first) --
         "q63_recursive_cte": _q63_recursive_cte,
         "q64_variant_json": _q64_variant_json,
@@ -2309,6 +2341,42 @@ def oracle_sql() -> dict[str, str]:
                         WHEN funnel_level >= 2 THEN t1
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q88_stream_quality_gate": """
+            WITH base AS (
+              SELECT 'https://' || source || '.com/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     lang, text,
+                     ' ' || text || ' ' AS ptext,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+            l AS (
+              SELECT url, lang, text, toks,
+                     list_filter(list_transform(str_split(ptext, ' a '),
+                                                s -> trim(s)),
+                                 s -> s != '') AS lines
+              FROM base)
+            SELECT url, lang,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   (len(toks) BETWEEN 30 AND 100000
+                    AND round(1.0 * len(list_filter(toks,
+                          t -> regexp_matches(t, '[A-Za-z]')))
+                        / greatest(len(toks), 1), 4) >= 0.80
+                    AND len(list_filter(toks,
+                          t -> list_contains(['the','be','to','of','and',
+                                              'that','have','with'],
+                                             lower(t)))) >= 1
+                    AND round(1.0 * len(list_filter(lines,
+                          s -> starts_with(s, '•') OR starts_with(s, '-')
+                               OR starts_with(s, '*')))
+                        / greatest(len(lines), 1), 4) <= 0.90
+                    AND round(1.0 * len(list_filter(lines,
+                          s -> ends_with(s, '...') OR ends_with(s, '…')))
+                        / greatest(len(lines), 1), 4) <= 0.30) AS keep,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email
+            FROM l
         """,
         "q87_stratified_sample": """
             WITH b AS (
