@@ -47,8 +47,19 @@ SKIP_SOAK = bool(os.environ.get("WMD_BENCH_SKIP_SOAK"))
 SOAK_BATCHES = int(os.environ.get("WMD_BENCH_SOAK_BATCHES", "96"))
 
 
+_LOADAVG_START = (0.0, 0.0, 0.0)
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # load context for the record: the shared host's external load
+    # swings ±50% between epochs. Interpretation key: the
+    # detect_us_per_doc_*_token fields below are a SINGLE-thread canary
+    # — when they sit at their usual ~120-150 µs/doc while the
+    # multi-core throughputs drop uniformly, the epoch was
+    # noisy-neighbor-polluted, not a code regression.
+    global _LOADAVG_START
+    _LOADAVG_START = os.getloadavg()
     from pyspark.sql import functions as F
 
     from watermark_detector_spark.fixtures import FixtureConfig, generate_pages_spark
@@ -285,6 +296,8 @@ def _finish(spark, timings, extras, cores):
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": cores, "executors": N_EXECUTORS or None,
                 "n_docs": N_DOCS,
+                "loadavg_start": [round(x, 2) for x in _LOADAVG_START],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 **extras,
             }
         )
