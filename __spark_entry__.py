@@ -571,11 +571,18 @@ def _warcish_stage(spark, sf: str) -> str:
     container files (written through the custom data source's own
     writer) and register the source; q84 reads it back through the
     custom reader — both halves of the format exercised."""
+    from watermark_detector_spark.sources import warcish
+
+    # EVERY call, not just the staging one: warcish.register sets
+    # spark.sql.python.filterPushdown.enabled (runtime-settable) in
+    # ADDITION to registering the class — the reader implements
+    # pushFilters, and a session not built by session.py (e.g. the
+    # driver harness's) hard-fails the scan with
+    # DATA_SOURCE_PUSHDOWN_DISABLED without the conf. Gating this on
+    # the stage cache would let a later same-session call fail.
+    warcish.register(spark)
     key = f"{id(spark)}:{sf}"
     if key not in _WARCISH_STAGE_CACHE:
-        from watermark_detector_spark.sources.warcish import WarcishDataSource
-
-        spark.dataSource.register(WarcishDataSource)
         d = _t(spark, sf, "documents").select(
             F.concat(F.lit("https://"), F.col("source"), F.lit(".com/doc/"),
                      F.col("doc_id").cast("string")).alias("url"),
@@ -650,13 +657,22 @@ def _run_to_memory(stream_df, name: str, output_mode: str) -> None:
 
 
 def _run_to_memory_flush(stream_df, name: str, output_mode: str,
-                         timeout_s: float = 60.0) -> None:
+                         timeout_s: float = 60.0,
+                         watermark_past: str | None = None) -> None:
     """Like _run_to_memory, but with the DEFAULT micro-batch trigger +
     an explicit wait for the no-data watermark-flush batch. Needed for
     custom Python DataSource streams: Spark's availableNow wrapper for
     them stops after the data batch WITHOUT the no-data batch that
     advances the watermark, so append-mode windows would never emit on
-    a finite stream (native file sources do get that flush batch)."""
+    a finite stream (native file sources do get that flush batch).
+
+    `watermark_past` (ISO-ish 'YYYY-MM-DDTHH:MM:SS...' UTC string): when
+    given, a batch only counts as the flush batch if the query's
+    reported eventTime.watermark has ALSO advanced past it (pass the
+    max staged event time minus the watermark delay). Guards against a
+    zero-input-row DATA batch satisfying the numInputRows==0 predicate
+    before the watermark actually moved. Timeout RAISES rather than
+    silently returning partial append-mode output (advice r5)."""
     import json as _json
     import time as _time
 
@@ -675,17 +691,29 @@ def _run_to_memory_flush(stream_df, name: str, output_mode: str,
         )
         q.processAllAvailable()
         deadline = _time.time() + timeout_s
-        while _time.time() < deadline:
-            done = False
+        done = False
+        while _time.time() < deadline and not done:
             for pr in q.recentProgress:
                 d = pr if isinstance(pr, dict) else _json.loads(pr.json)
-                if d.get("batchId", 0) >= 1 and d.get("numInputRows") == 0:
-                    done = True  # the flush batch committed
-            if done:
-                break
-            _time.sleep(0.3)
+                if not (d.get("batchId", 0) >= 1
+                        and d.get("numInputRows") == 0):
+                    continue
+                if watermark_past is not None:
+                    wm = (d.get("eventTime") or {}).get("watermark", "")
+                    # both sides normalized to 'YYYY-MM-DDTHH:MM:SS'
+                    # prefix — lexicographic compare == chronological
+                    if not wm or wm[:19] <= watermark_past[:19]:
+                        continue
+                done = True  # the flush batch committed
+            if not done:
+                _time.sleep(0.3)
         q.stop()
         q.awaitTermination()
+        if not done:
+            raise TimeoutError(
+                f"{name}: no watermark-flush batch within {timeout_s}s "
+                f"(required watermark past {watermark_past!r}) — "
+                "append-mode output would be incomplete")
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -1147,7 +1175,15 @@ def _q85_warcish_stream(spark, sf: str) -> DataFrame:
         )
     )
     name = "wmd_q85_" + uuid.uuid4().hex[:8]
-    _run_to_memory_flush(agg, name, "append")
+    # flush gate: the final watermark must pass (max warc_ts - the 1min
+    # delay - 1s slack) before the run counts as complete — a zero-row
+    # DATA batch can no longer masquerade as the flush batch
+    max_ts = _t(spark, sf, "documents").agg(
+        (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+         + F.make_interval(secs=F.max("doc_id").cast("double") - 61)
+         ).alias("m")).collect()[0]["m"]
+    _run_to_memory_flush(agg, name, "append",
+                         watermark_past=max_ts.isoformat())
     return spark.table(name)
 
 
@@ -1680,6 +1716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     already has a green row in CORRECTNESS_r01..r03). jobs/correctness.py
     additionally writes a repo-local artifact covering ALL queries."""
     return {
+        # -- round 6: q84 FIRST — the one red row in CORRECTNESS_r05
+        #    (driver session lacked the python filterPushdown conf;
+        #    warcish.register now sets it at runtime) --
+        "q84_warcish_source": _q84_warcish_source,
         # -- new this round (round 5): certify first (the 50-entry
         #    driver cap sees these before anything already green in
         #    CORRECTNESS_r01..r04; union across rounds covers all) --
@@ -1689,7 +1729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_stream_sequence": _q81_stream_sequence,
         "q82_sequence_match": _q82_sequence_match,
         "q83_url_filter": _q83_url_filter,
-        "q84_warcish_source": _q84_warcish_source,
         "q85_warcish_stream": _q85_warcish_stream,
         "q86_sink_time_travel": _q86_sink_time_travel,
         "q87_stratified_sample": _q87_stratified_sample,
@@ -2342,7 +2381,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
         """,
-        "q88_stream_quality_gate": """
+        "q88_stream_quality_gate": r"""
             WITH base AS (
               SELECT 'https://' || source || '.com/doc/'
                        || CAST(doc_id AS VARCHAR) AS url,
@@ -2432,7 +2471,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang
         """,
-        "q83_url_filter": """
+        "q83_url_filter": r"""
             WITH u AS (
               SELECT doc_id,
                      'https://'

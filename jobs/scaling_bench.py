@@ -118,6 +118,11 @@ def run_bench(n_executors: int) -> dict:
         # scaling measures throughput; the soak (latency/state audit) is
         # a separate artifact and would only add fixed time per level
         WMD_BENCH_SKIP_SOAK="1",
+        # bench.py's own pre-flight wait-for-quiet gate must not delay
+        # individual levels here — THIS harness gates whole epochs with
+        # the stronger off-pin /proc/stat rule instead (the inner
+        # preflight_busy sample is still recorded per level)
+        WMD_BENCH_LOAD_WAIT_S="0",
     )
     # pin the level to exactly its core budget (see module docstring)
     n_cpus = n_executors * EXEC_CORES + DRIVER_CORES

@@ -754,7 +754,12 @@ def test_warcish_source_roundtrip(spark, tmp_path_factory):
          ("https://b.com/2", datetime(2025, 1, 1, 11, 0, 0), "de",
           bytearray("<div>wält</div>".encode())),
          ("https://c.com/3", datetime(2025, 1, 1, 12, 0, 0), "en",
-          bytearray(b""))],
+          bytearray(b"")),
+         # adversarial: this exact microsecond value truncates 1us
+         # under the float path int(ts.timestamp() * 1e6) — the writer
+         # must use integer arithmetic for the round trip to be exact
+         ("https://d.com/4", datetime(2005, 4, 17, 8, 29, 2, 646319),
+          "en", bytearray(b"<p>us</p>"))],
         "url string, warc_ts timestamp, lang string, html binary")
     df.repartition(2).write.format("warcish").mode("overwrite").save(root)
     back = spark.read.format("warcish").load(root)
@@ -764,7 +769,7 @@ def test_warcish_source_roundtrip(spark, tmp_path_factory):
             for r in df.collect()}
     assert got == want                      # incl. microsecond precision
     # pushed equality filter on metadata drops records in the reader
-    assert back.where("lang = 'en'").count() == 2
+    assert back.where("lang = 'en'").count() == 3
     assert back.where("url = 'https://b.com/2'").count() == 1
     # overwrite clears stale parts (previous write had 2 partitions)
     df.limit(1).repartition(1).write.format("warcish") \
@@ -1077,3 +1082,94 @@ def test_domain_cap_quota(spark):
     by = out.groupby("source")["doc_id"].apply(sorted).to_dict()
     assert by["big"] == list(range(10))        # first 10 by doc_id
     assert by["small"] == [1000, 1001, 1002]   # under quota: untouched
+
+
+def test_warcish_register_enables_pushdown_in_any_session(spark, sf_dir=None):
+    """The round-5 driver red row (q84): a session NOT built by
+    session.py has spark.sql.python.filterPushdown.enabled=false and
+    the warcish scan hard-fails with DATA_SOURCE_PUSHDOWN_DISABLED
+    because the reader implements pushFilters. warcish.register(spark)
+    must flip the conf at RUNTIME so the source works in any session —
+    and the entry-point query path must call it on every invocation,
+    not only when it first stages files."""
+    from watermark_detector_spark.sources import warcish
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(key, "false")
+    try:
+        spark.conf.set(key, "false")     # simulate a vanilla session
+        warcish.register(spark)
+        assert spark.conf.get(key) == "true"
+        # the q84 builder rescues the conf even mid-session (its stage
+        # cache may already be warm — registration must not be gated)
+        import __spark_entry__ as entry
+
+        spark.conf.set(key, "false")
+        df = entry.queries()["q84_warcish_source"](
+            spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_warcish_overwrite_failure_restores_old_parts(spark, tmp_path_factory):
+    """Staged overwrite: old parts are renamed aside at plan time and
+    only deleted on commit — a write job that FAILS mid-overwrite
+    restores the original contents instead of leaving the target
+    empty (advice r5: plan-time delete lost old data on failure)."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from watermark_detector_spark.sources import warcish
+
+    warcish.register(spark)
+    root = str(tmp_path_factory.mktemp("warcish_ow"))
+    ok = spark.createDataFrame(
+        [("https://a.com/1", datetime(2025, 1, 1), "en", bytearray(b"x")),
+         ("https://b.com/2", datetime(2025, 1, 2), "de", bytearray(b"y"))],
+        "url string, warc_ts timestamp, lang string, html binary")
+    ok.repartition(2).write.format("warcish").mode("overwrite").save(root)
+    before = {r["url"] for r in
+              spark.read.format("warcish").load(root).collect()}
+    assert before == {"https://a.com/1", "https://b.com/2"}
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def boom(b: pd.Series) -> pd.Series:
+        raise RuntimeError("task failure injected by test")
+
+    bad = ok.withColumn("html", boom("html"))
+    with _pytest.raises(Exception):
+        bad.write.format("warcish").mode("overwrite").save(root)
+    after = {r["url"] for r in
+             spark.read.format("warcish").load(root).collect()}
+    assert after == before, "failed overwrite must not lose old data"
+
+
+def test_warcish_stream_names_sort_across_writes(spark, tmp_path_factory):
+    """Opt-in streamNames writer mode: every part of a later append
+    write sorts lexicographically AFTER every part of an earlier write
+    — the producer contract the stream reader's name-high-watermark
+    offsets require (plain uuid-suffixed names do not guarantee it)."""
+    import os
+    from datetime import datetime
+
+    from watermark_detector_spark.sources import warcish
+
+    warcish.register(spark)
+    root = str(tmp_path_factory.mktemp("warcish_seq"))
+    df = spark.createDataFrame(
+        [("https://a.com/1", datetime(2025, 1, 1), "en", bytearray(b"x"))],
+        "url string, warc_ts timestamp, lang string, html binary")
+    (df.repartition(2).write.format("warcish")
+       .option("streamNames", "true").mode("append").save(root))
+    first = sorted(f for f in os.listdir(root) if f.endswith(".warcish"))
+    (df.repartition(2).write.format("warcish")
+       .option("streamNames", "true").mode("append").save(root))
+    both = sorted(f for f in os.listdir(root) if f.endswith(".warcish"))
+    second = [f for f in both if f not in first]
+    assert len(first) == 2 and len(second) == 2
+    assert max(first) < min(second), (first, second)

@@ -1057,3 +1057,51 @@ def test_funnel_stream_ttl_reclaims_inactive_keys(spark, tmp_path_factory):
     # final store: only u9's still-pending 10:15 event — u1's expired
     # chain row is gone (would be 2 without the TTL)
     assert state_rows and state_rows[-1] == 1, state_rows
+
+
+def test_warcish_stream_offsets_pin_batch_file_list(tmp_path_factory):
+    """Replay identity (advice r5): offsets planned by the stream
+    reader embed the CONCRETE file list of the batch, so replaying a
+    committed batch after a straggler lands with a name INSIDE the
+    replayed range still reads exactly the original files (the
+    straggler is logged and skipped, never silently folded in)."""
+    from watermark_detector_spark.sources.warcish import (
+        WarcishStreamReader,
+        write_records,
+    )
+
+    src = tmp_path_factory.mktemp("warcish_offsets")
+
+    def emit(name, url):
+        write_records(str(src / name),
+                      [(url, 1_700_000_000_000_000, "en", b"x")])
+
+    rdr = WarcishStreamReader({"path": str(src)})
+    start = rdr.initialOffset()
+    emit("drop-00000.warcish", "u0")
+    emit("drop-00002.warcish", "u2")
+    end = rdr.latestOffset()
+    assert end["last"] == "drop-00002.warcish"
+    assert end["files"] == ["drop-00000.warcish", "drop-00002.warcish"]
+    planned = sorted(p.path for p in rdr.partitions(start, end))
+    assert [os.path.basename(p) for p in planned] == end["files"]
+
+    # straggler lands INSIDE the already-planned range; a replay of the
+    # same (start, end] must still read exactly the original file list
+    emit("drop-00001.warcish", "u1-straggler")
+    replay = WarcishStreamReader({"path": str(src)})  # fresh, post-restart
+    got = sorted(os.path.basename(p.path)
+                 for p in replay.partitions(start, end))
+    assert got == ["drop-00000.warcish", "drop-00002.warcish"]
+
+    # the next batch does NOT resurrect the straggler either (it sorts
+    # below the consumed high-watermark — same rule as a late event
+    # below the event-time watermark)
+    emit("drop-00003.warcish", "u3")
+    nxt = replay.latestOffset()
+    assert nxt["files"] == ["drop-00003.warcish"]
+
+    # no new files -> latestOffset returns the previous offset VERBATIM
+    # (Spark compares serialized offsets; a differing dict would plan a
+    # spurious empty micro-batch)
+    assert replay.latestOffset() is nxt

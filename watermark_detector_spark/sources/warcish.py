@@ -33,8 +33,9 @@ the archive-container ingest + egress path.
 from __future__ import annotations
 
 import os
+import sys
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -51,6 +52,21 @@ from pyspark.sql.types import StructType
 MAGIC = b"WARCISH/1"
 
 SCHEMA_DDL = "url string, warc_ts timestamp, lang string, html binary"
+
+_EPOCH_NAIVE = datetime(1970, 1, 1)
+
+
+def register(spark) -> None:
+    """Register the source on an arbitrary session — this is the ONLY
+    supported registration path. It both registers the DataSource class
+    AND enables ``spark.sql.python.filterPushdown.enabled``: the reader
+    implements ``pushFilters``, and with the conf at its default (false)
+    Spark hard-fails the scan with DATA_SOURCE_PUSHDOWN_DISABLED rather
+    than degrading. The conf is runtime-settable, so setting it here
+    makes the source work in any session, not only ones built by
+    session.get_spark() (which also sets it at builder time)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WarcishDataSource)
 
 
 def write_records(path: str, records) -> int:
@@ -138,8 +154,9 @@ class WarcishReader(DataSourceReader):
                 continue
             yield (
                 url,
-                datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
-                .replace(tzinfo=None),
+                # integer micros -> naive datetime without a float
+                # round-trip (fromtimestamp(us/1e6) can be 1us off)
+                _EPOCH_NAIVE + timedelta(microseconds=ts_us),
                 lang,
                 payload,
             )
@@ -161,17 +178,43 @@ class WarcishStreamReader(DataSourceStreamReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("warcish: .load(path) is required")
+        # high-watermark of the last offset THIS reader instance planned
+        # — lets latestOffset() enumerate exactly the new files and bake
+        # the concrete batch file list into the offset (see partitions).
+        # None after a restart until the first partitions() call tells
+        # us where the WAL left off.
+        self._prev_last: str | None = None
+        self._prev_offset: dict | None = None
 
     def _files(self) -> list[str]:
         return sorted(
             f for f in os.listdir(self.dir) if f.endswith(".warcish"))
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
-        return {"last": ""}
+        self._prev_last = ""
+        self._prev_offset = {"last": ""}
+        return self._prev_offset
 
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
         files = self._files()
-        return {"last": files[-1] if files else ""}
+        last = files[-1] if files else ""
+        if self._prev_last is None:
+            # fresh reader after restart and Spark asked for new data
+            # before replaying anything (last WAL batch was committed):
+            # we do not know the committed watermark, so this one
+            # offset carries no file list — partitions() falls back to
+            # a live range listing for it (and records the watermark).
+            return {"last": last}
+        if last == self._prev_last and self._prev_offset is not None:
+            # no new files: re-return the previous offset VERBATIM —
+            # Spark compares offsets by serialized equality, so a fresh
+            # {"files": []} dict here would plan a spurious empty batch
+            return self._prev_offset
+        off = {"last": last,
+               "files": [f for f in files if self._prev_last < f <= last]}
+        self._prev_last = last
+        self._prev_offset = off
+        return off
 
     def partitions(self, start: dict, end: dict):
         # offsets are file NAMES (a lexicographic high-watermark), not
@@ -179,23 +222,40 @@ class WarcishStreamReader(DataSourceStreamReader):
         # watermark can never shift other files' positions and corrupt
         # replay — it is skipped, exactly like an event below an
         # event-time watermark. Producer contract: streamed-in files
-        # must carry monotonically increasing names (timestamped or
-        # sequence-numbered, the norm for archive drops); the batch
-        # writer's uuid-suffixed parts do NOT guarantee this across
-        # separate append writes — use explicit names when producing
-        # for a stream.
-        return [
-            _FilePartition(os.path.join(self.dir, f))
-            for f in self._files()
-            if start["last"] < f <= end["last"]
-        ]
+        # must carry monotonically increasing names across writes (the
+        # batch writer's opt-in `streamNames` mode stamps one); uuid
+        # suffixes alone do NOT sort across separate append writes.
+        #
+        # Replay identity: when the end offset was planned by this
+        # source it embeds the CONCRETE batch file list ("files"), so a
+        # checkpoint replay of a committed batch re-reads exactly the
+        # original set even if a straggler has since landed with a name
+        # inside the replayed range — the straggler is logged and
+        # skipped (it can never join a later batch: it sorts below the
+        # consumed watermark). Offsets without "files" (pre-upgrade
+        # WALs, or the one post-restart offset planned before the WAL
+        # position was known) fall back to a live range listing.
+        self._prev_last = end["last"]
+        self._prev_offset = end
+        live = [f for f in self._files()
+                if start["last"] < f <= end["last"]]
+        batch = end.get("files")
+        if batch is None:
+            batch = live
+        elif set(live) - set(batch):
+            print(
+                "warcish: WARNING straggler file(s) inside already-"
+                f"planned range ({start['last']!r}, {end['last']!r}]: "
+                f"{sorted(set(live) - set(batch))} — skipped to keep "
+                "replay byte-identical; name new files monotonically "
+                "(streamNames writer option)", file=sys.stderr)
+        return [_FilePartition(os.path.join(self.dir, f)) for f in batch]
 
     def read(self, partition: _FilePartition):
         for url, ts_us, lang, payload in read_records(partition.path):
             yield (
                 url,
-                datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
-                .replace(tzinfo=None),
+                _EPOCH_NAIVE + timedelta(microseconds=ts_us),
                 lang,
                 payload,
             )
@@ -213,11 +273,20 @@ class _WriteDone(WriterCommitMessage):
 
 
 class WarcishWriter(DataSourceWriter):
-    def __init__(self, options: dict, overwrite: bool):
+    def __init__(self, options: dict, overwrite: bool,
+                 seq_prefix: str | None = None,
+                 staged_old: list[tuple[str, str]] | None = None):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("warcish: .save(path) is required")
         self.overwrite = overwrite
+        self.seq_prefix = seq_prefix
+        # (original_path, staged_aside_path) pairs for overwrite mode:
+        # the old parts are renamed aside at plan time (invisible to
+        # readers — no .warcish suffix) and only DELETED in commit() /
+        # RESTORED in abort(), so a failed overwrite leaves the target
+        # with its original contents instead of empty.
+        self.staged_old = staged_old or []
 
     def write(self, iterator):
         import uuid
@@ -226,17 +295,29 @@ class WarcishWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.dir, exist_ok=True)
-        # unique suffix: append mode must never clobber an existing
-        # part file that happens to share a partition id
-        path = os.path.join(
-            self.dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warcish")
+        # default naming: unique suffix so append mode never clobbers an
+        # existing part that shares a partition id. With the opt-in
+        # `streamNames` option the driver stamps a per-WRITE monotonic
+        # epoch prefix, so files from successive append writes sort
+        # strictly after all earlier writes' files — the contract the
+        # stream reader's name-high-watermark offsets require of
+        # producers (uuid suffixes alone do NOT sort across writes).
+        if self.seq_prefix is not None:
+            name = f"part-{self.seq_prefix}-{pid:05d}.warcish"
+        else:
+            name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warcish"
+        path = os.path.join(self.dir, name)
         n = write_records(
             path,
             ((r.url,
-              # naive datetime -> UTC micros (symmetric with the
-              # reader's UTC->naive, so values round-trip regardless
-              # of the session timezone)
-              int(r.warc_ts.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+              # naive datetime -> micros since epoch via INTEGER
+              # arithmetic (symmetric with the reader's UTC->naive, so
+              # values round-trip regardless of the session timezone).
+              # NOT float .timestamp()*1e6: float64 has 52 mantissa
+              # bits and present-day epoch-micros need ~51, so ~1% of
+              # values truncate 1us under int(float) — breaking the
+              # byte/value-exact round-trip contract.
+              (r.warc_ts - _EPOCH_NAIVE) // timedelta(microseconds=1)
               if hasattr(r.warc_ts, "timestamp") else int(r.warc_ts),
               r.lang, bytes(r.html) if r.html is not None else b"")
              for r in iterator),
@@ -244,6 +325,11 @@ class WarcishWriter(DataSourceWriter):
         return _WriteDone(path=path, rows=n)
 
     def commit(self, messages):
+        # overwrite: the staged-aside old parts become garbage only now
+        # that every task succeeded — delete them first, then publish
+        for _orig, aside in self.staged_old:
+            if os.path.exists(aside):
+                os.remove(aside)
         # one-file-per-task + driver-side commit marker: same
         # all-or-nothing publication shape as the exactly-once sink
         with open(os.path.join(self.dir, "_SUCCESS"), "w") as fh:
@@ -253,6 +339,11 @@ class WarcishWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+        # overwrite rollback: restore the staged-aside old parts so the
+        # target keeps its pre-write contents
+        for orig, aside in self.staged_old:
+            if os.path.exists(aside) and not os.path.exists(orig):
+                os.rename(aside, orig)
 
 
 class WarcishDataSource(DataSource):
@@ -273,13 +364,35 @@ class WarcishDataSource(DataSource):
         return WarcishStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> WarcishWriter:
+        import uuid
+
         # overwrite semantics resolve HERE, on the driver, before any
         # task runs: stale container files from a previous (possibly
         # wider-partitioned) write would otherwise survive under their
-        # old part numbers and silently duplicate rows on read
+        # old part numbers and silently duplicate rows on read. The old
+        # parts are STAGED aside (rename, same directory — atomic),
+        # not deleted: commit() deletes them, abort() restores them, so
+        # a failed overwrite never leaves the target empty.
         path = self.options.get("path")
+        staged: list[tuple[str, str]] = []
         if overwrite and path and os.path.isdir(path):
+            tag = uuid.uuid4().hex[:8]
             for f in os.listdir(path):
                 if f.endswith(".warcish") or f == "_SUCCESS":
-                    os.remove(os.path.join(path, f))
-        return WarcishWriter(self.options, overwrite)
+                    orig = os.path.join(path, f)
+                    aside = os.path.join(path, f".{f}.old-{tag}")
+                    os.rename(orig, aside)
+                    staged.append((orig, aside))
+        # opt-in monotonic naming for stream producers: one
+        # microsecond-epoch prefix per WRITE, stamped on the driver at
+        # plan time, shared by every task's part file — names from a
+        # later append write always sort after this write's names,
+        # which is the stream reader's producer contract.
+        seq = None
+        if str(self.options.get("streamNames", "")).lower() in (
+                "true", "1", "yes"):
+            seq = format(
+                (datetime.now(timezone.utc).replace(tzinfo=None)
+                 - _EPOCH_NAIVE) // timedelta(microseconds=1), "020d")
+        return WarcishWriter(self.options, overwrite, seq_prefix=seq,
+                             staged_old=staged)
