@@ -1276,6 +1276,25 @@ def _q87_stratified_sample(spark, sf: str) -> DataFrame:
     )
 
 
+def _q89_semantic_dedup(spark, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (functions/similarity.semantic_dedup): IVF coarse cells, then drop
+    every vector whose HALF_UP-4-rounded cosine to a lower-id cell-mate
+    reaches the threshold (greedy keep-first). n_iters=0 pins centroids
+    to the 8 lowest-id vectors so the DuckDB oracle replays the exact
+    pipeline: argmax-cosine assignment, intra-cell lower-id max
+    similarity, rounded-threshold keep flag. Threshold 0.42 sits inside
+    the fixture's intra-cell similarity range (max 0.4928) — 11/500
+    vectors drop; the production default (0.93) targets true semantic
+    duplicates. At scale this is O(N²/n_cells) inside independent
+    per-cell tasks — the all-pairs GEMM never happens."""
+    from watermark_detector_spark.functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup(emb, dim=64, n_cells=8, threshold=0.42,
+                          n_iters=0)
+
+
 def _q63_recursive_cte(spark, sf: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0+): month spine from min to max order
     month, left-joined to monthly order counts so EMPTY months appear
@@ -1720,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
         "q84_warcish_source": _q84_warcish_source,
+        "q89_semantic_dedup": _q89_semantic_dedup,
         # -- new this round (round 5): certify first (the 50-entry
         #    driver cap sees these before anything already green in
         #    CORRECTNESS_r01..r04; union across rounds covers all) --
@@ -2380,6 +2400,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN funnel_level >= 2 THEN t1
                         ELSE t0 END AS t_complete
             FROM lvl WHERE funnel_level >= 1
+        """,
+        "q89_semantic_dedup": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            assign AS (
+              SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY
+                           list_sum(list_transform(
+                               range(1, len(e.embedding) + 1),
+                               i -> CAST(e.embedding[i] AS DOUBLE)
+                                  * CAST(c.cvec[i] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(e.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(c.cvec,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                           DESC, c.cell) AS rn
+                FROM embeddings e CROSS JOIN cents c) t
+              WHERE rn = 1
+            ),
+            prev AS (
+              SELECT b.vec_id,
+                     max(round(
+                       list_sum(list_transform(
+                           range(1, len(a.embedding) + 1),
+                           i -> CAST(a.embedding[i] AS DOUBLE)
+                              * CAST(b.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       4)) AS max_prev_sim
+              FROM assign a JOIN assign b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              GROUP BY b.vec_id
+            )
+            SELECT s.vec_id, s.cell, p.max_prev_sim,
+                   (p.max_prev_sim IS NULL OR p.max_prev_sim < 0.42) AS keep
+            FROM assign s LEFT JOIN prev p USING (vec_id)
         """,
         "q88_stream_quality_gate": r"""
             WITH base AS (

@@ -81,7 +81,8 @@ def _values_match(got: pd.DataFrame, want: pd.DataFrame) -> bool:
     return True
 
 
-def run(sf_dir: str, out_path: str, cpus: int) -> dict:
+def run(sf_dir: str, out_path: str, cpus: int,
+        only: list[str] | None = None) -> dict:
     from watermark_detector_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -93,6 +94,11 @@ def run(sf_dir: str, out_path: str, cpus: int) -> dict:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        missing = [n for n in only if n not in queries]
+        if missing:
+            raise SystemExit(f"--only names not registered: {missing}")
+        queries = {n: queries[n] for n in only}
     results: dict[str, dict] = {}
     for name, fn in queries.items():
         entry = {"rows_match": False, "schema_match": False,
@@ -128,9 +134,12 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=os.path.join(REPO, "CORRECTNESS_FULL.json"))
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names (subset sweep)")
     args = ap.parse_args()
     t0 = time.time()
-    summary = run(args.sf_dir, args.out, args.cpus)
+    summary = run(args.sf_dir, args.out, args.cpus,
+                  only=args.only.split(",") if args.only else None)
     summary["elapsed_sec"] = round(time.time() - t0, 1)
     print(json.dumps(summary))
     return 0 if summary["green"] == summary["queries"] else 1

@@ -1173,3 +1173,41 @@ def test_warcish_stream_names_sort_across_writes(spark, tmp_path_factory):
     second = [f for f in both if f not in first]
     assert len(first) == 2 and len(second) == 2
     assert max(first) < min(second), (first, second)
+
+
+def test_semantic_dedup_greedy_keep_first(spark):
+    """semantic_dedup: an exact duplicate (cosine 1.0) of a lower-id
+    vector is dropped, the lower-id original kept; near-but-below
+    threshold survives; results are partitioning-invariant and the
+    production Lloyd-refined path (n_iters>0) runs too."""
+    from watermark_detector_spark.functions.similarity import semantic_dedup
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    # append exact copies of vectors 0..4 under high ids: same cell by
+    # construction (identical vector -> identical argmax), cosine 1.0
+    dups = emb.where("vec_id < 5").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(dups)
+    out = semantic_dedup(corpus, dim=64, n_cells=8, threshold=0.999,
+                         n_iters=0).toPandas().set_index("vec_id")
+    for i in range(5):
+        assert bool(out.loc[i, "keep"]), "original must be kept"
+        assert not bool(out.loc[100000 + i, "keep"]), "copy must drop"
+        assert abs(out.loc[100000 + i, "max_prev_sim"] - 1.0) < 1e-9
+    # everything else is far below 0.999 -> kept
+    assert int((~out["keep"]).sum()) == 5
+    # partitioning invariance
+    a = (semantic_dedup(corpus.repartition(1), dim=64, n_cells=8,
+                        threshold=0.999, n_iters=0)
+         .toPandas().sort_values("vec_id").reset_index(drop=True))
+    b = (semantic_dedup(corpus.repartition(16), dim=64, n_cells=8,
+                        threshold=0.999, n_iters=0)
+         .toPandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # production path: Lloyd refinement changes cells, not the contract
+    prod = semantic_dedup(corpus, dim=64, n_cells=8, threshold=0.999,
+                          n_iters=2).toPandas().set_index("vec_id")
+    for i in range(5):
+        assert not bool(prod.loc[100000 + i, "keep"])

@@ -1105,3 +1105,46 @@ def test_warcish_stream_offsets_pin_batch_file_list(tmp_path_factory):
     # (Spark compares serialized offsets; a differing dict would plan a
     # spurious empty micro-batch)
     assert replay.latestOffset() is nxt
+
+
+def test_sink_time_travel_as_of_timestamp(spark, tmp_path_factory):
+    """read(as_of_timestamp=T) resolves T to the last batch committed
+    at or before T via the manifest ledger's commit times, which
+    SURVIVE compaction (range manifests embed batch_commits) — and
+    inherits as_of_batch's EXPIRED contract once vacuum folds the
+    per-batch history a straddling read would need."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    root = str(tmp_path_factory.mktemp("sink_tt_ts"))
+    sink = ExactlyOnceParquetSink(root, output_partitions=1,
+                                  vacuum_retention_s=0)
+    marks = []
+    for b in range(4):
+        sink.write_batch(
+            spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "v"), b)
+        marks.append(_time.time())   # instant just after batch b commits
+        _time.sleep(0.05)            # commit times must be distinct
+
+    tt = lambda ts: sorted(
+        r["v"] for r in sink.read(spark, as_of_timestamp=ts).collect())
+    assert tt(marks[1]) == list(range(20))
+    assert tt(marks[3]) == list(range(40))
+    assert tt(_time.time() + 3600) == list(range(40))   # future == head
+    with _pytest.raises(ValueError, match="no snapshot"):
+        sink.read(spark, as_of_timestamp=marks[0] - 10)
+    with _pytest.raises(ValueError, match="not both"):
+        sink.read(spark, as_of_batch=1, as_of_timestamp=marks[1])
+
+    sink.compact(spark, vacuum=False)
+    # per-batch manifests still present: both resolutions unchanged
+    assert tt(marks[1]) == list(range(20))
+    sink.vacuum()   # retention 0: shadowed per-batch history folded
+    # ts at/after the last folded commit -> whole range via batch_commits
+    assert tt(marks[3]) == list(range(40))
+    # ts inside the folded range -> per-batch dirs are gone -> EXPIRED
+    with _pytest.raises(ValueError, match="EXPIRED"):
+        sink.read(spark, as_of_timestamp=marks[1])

@@ -443,3 +443,63 @@ def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
         .select("query_id", "neighbor_id", "rank",
                 F.round(F.col("_cos"), 4).alias("cosine"))
     )
+
+
+def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 8,
+                   threshold: float = 0.93, n_iters: int = 3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic (embedding-space) dedup: cluster with the
+    IVF coarse quantizer, then inside each cluster drop every vector
+    whose cosine similarity to a LOWER-id cluster-mate reaches the
+    threshold (greedy keep-first — deterministic and engine-portable,
+    replacing the paper's keep-farthest-from-centroid tie order).
+
+    Returns (id, cell, max_prev_sim, keep): max_prev_sim is the max
+    HALF_UP-4-rounded cosine to any lower-id same-cell vector (NULL for
+    the cell's first vector), keep = max_prev_sim is NULL or below the
+    threshold. The keep rule compares the ROUNDED similarity so replays
+    on other engines (the DuckDB oracle) cannot flip on a last-ulp
+    difference.
+
+    Scale shape (the SemDeDup posture): the expensive O(N²) similarity
+    never happens — pairs exist only WITHIN a cell, so compute is
+    O(N²/n_cells) spread over n_cells independent tasks, and n_cells
+    grows with the corpus (the paper runs ~100k clusters at 100M+
+    docs) keeping per-task working sets bounded at roughly
+    (N/n_cells)·dim floats. Assignment is one Arrow-batch GEMM against
+    the broadcast centroid matrix (n_cells·dim floats — driver-bounded
+    like ivf_topk); the per-cell pass is one applyInPandas GEMM.
+
+    n_iters=0 pins the centroids to the n_cells lowest-id vectors
+    (normalized) with NO Lloyd steps — fully replayable in SQL, which
+    is what the contract query uses; production keeps the default
+    Lloyd refinement."""
+    import numpy as np
+    import pandas as pd
+
+    cents = ivf_centroids(df, dim, n_cells, n_iters, id_col, vec_col)
+    assigned, _b = _ivf_assign(df, cents, id_col, vec_col)
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        mn = m / nrm
+        sims = _round_half_up(mn @ mn.T, 4)
+        # max over strictly-lower-id rows: the strict lower triangle
+        prev = np.where(np.tril(np.ones_like(sims, dtype=bool), k=-1),
+                        sims, -np.inf).max(axis=1)
+        has_prev = np.isfinite(prev)
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            "cell": pdf["cell"],
+            "max_prev_sim": np.where(has_prev, prev, np.nan),
+            "keep": ~(has_prev & (prev >= threshold)),
+        })
+
+    return assigned.groupBy("cell").applyInPandas(
+        _cell,
+        schema=f"{id_col} long, cell int, max_prev_sim double, keep boolean",
+    )

@@ -280,8 +280,46 @@ class ExactlyOnceParquetSink:
             for r in ranges
         ] + [os.path.join(self.data_dir, f"batch_id={b}") for b in singles]
 
+    def _batch_commit_times(self) -> dict[int, float]:
+        """batch_id -> commit epoch, surviving compaction: per-batch
+        manifests (INCLUDING range-shadowed ones not yet vacuumed) are
+        the primary source; range manifests carry the folded batches'
+        original times in ``batch_commits``. A legacy range without
+        that field maps only its hi batch, to the COMPACTION time — a
+        conservative late bound (never resolves a timestamp to a batch
+        that had not committed yet)."""
+        fs = self.fs
+        out: dict[int, float] = {}
+        range_files = []
+        for f in fs.listdir(self.manifest_dir):
+            if not f.endswith(".json"):
+                continue
+            stem = f[:-5]
+            if stem.isdigit():
+                try:
+                    m = json.loads(fs.read_text(
+                        os.path.join(self.manifest_dir, f)))
+                    out[int(stem)] = m["committed_at_epoch"]
+                except Exception:
+                    pass
+            elif stem.startswith("compact_"):
+                range_files.append(f)
+        for f in range_files:
+            try:
+                m = json.loads(fs.read_text(
+                    os.path.join(self.manifest_dir, f)))
+            except Exception:
+                continue
+            bc = m.get("batch_commits") or {}
+            for b, t in bc.items():
+                out.setdefault(int(b), t)
+            if not bc and "hi" in m:
+                out.setdefault(int(m["hi"]), m["committed_at_epoch"])
+        return out
+
     def read(self, spark: SparkSession,
-             as_of_batch: int | None = None) -> DataFrame:
+             as_of_batch: int | None = None,
+             as_of_timestamp: float | None = None) -> DataFrame:
         """Read the committed snapshot. With ``as_of_batch`` TIME-TRAVEL
         to the table as of that batch id (Iceberg snapshot-read analog;
         the manifest ledger IS the snapshot history): only batches with
@@ -290,7 +328,30 @@ class ExactlyOnceParquetSink:
         cut falls back to the shadowed per-batch dirs, which exist until
         vacuum's retention expires them — past that the snapshot is
         expired (exactly Iceberg's expire_snapshots contract) and the
-        read raises rather than returning partial data."""
+        read raises rather than returning partial data.
+
+        ``as_of_timestamp`` (epoch seconds float, or a datetime) is the
+        interface users actually hold (Iceberg's as-of-timestamp read):
+        it resolves to the LAST batch whose commit time is <= the given
+        instant — commit times come from the manifest ledger and
+        survive compaction via the range manifests' ``batch_commits`` —
+        then follows the as_of_batch path (including its EXPIRED
+        semantics)."""
+        if as_of_timestamp is not None:
+            if as_of_batch is not None:
+                raise ValueError(
+                    "pass as_of_batch OR as_of_timestamp, not both")
+            ts = (as_of_timestamp.timestamp()
+                  if hasattr(as_of_timestamp, "timestamp")
+                  else float(as_of_timestamp))
+            times = self._batch_commit_times()
+            eligible = [b for b, t in times.items() if t <= ts]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot committed at or before epoch {ts} "
+                    f"under {self.root} (earliest known commit: "
+                    f"{min(times.values()) if times else 'none'})")
+            as_of_batch = max(eligible)
         if as_of_batch is None:
             paths = self._data_paths()
             if not paths:
@@ -371,10 +432,22 @@ class ExactlyOnceParquetSink:
                 df.coalesce(n_out).write.mode("overwrite").parquet(out)
             files = sorted(f for f in fs.listdir(out) if f.endswith(".parquet"))
             n_rows = sum(fs.parquet_rows(os.path.join(out, f)) for f in files)
+            # carry the folded batches' ORIGINAL commit times into the
+            # range manifest: timestamp time-travel must keep resolving
+            # ts -> batch after vacuum sweeps the per-batch manifests
+            batch_commits = {}
+            for b in run:
+                try:
+                    m = json.loads(fs.read_text(
+                        os.path.join(self.manifest_dir, f"{b}.json")))
+                    batch_commits[str(b)] = m["committed_at_epoch"]
+                except Exception:
+                    pass  # already vacuumed/legacy: hi falls back below
             entry = {
                 "lo": lo, "hi": hi, "batch_ids": run, "n_rows": n_rows,
                 "n_files": len(files), "files": files,
                 "committed_at_epoch": time.time(),
+                "batch_commits": batch_commits,
             }
             # atomic publish: from this instant readers take the range and
             # ignore the (still-present) covered per-batch manifests
