@@ -1096,6 +1096,42 @@ def _q82_sequence_match(spark, sf: str) -> DataFrame:
     return sequence_match(e, ["view", "view", "click"], max_gap_s=86400)
 
 
+_ALT_STEPS = [["view", "click"], ["view", "click"], ["purchase", "signup"]]
+
+
+def _q90_sequence_alternation(spark, sf: str) -> DataFrame:
+    """Batch CEP with step ALTERNATION: MATCH_RECOGNIZE
+    PATTERN((view|click) (view|click) (purchase|signup)) with strict
+    contiguity and 24 h max gap. Alternation is pure isin() predicates
+    on the SAME single keyed window pass as q82 — no extra shuffle, no
+    pattern expansion into 2^k separate sequences."""
+    from watermark_detector_spark.operators.cep import sequence_match
+
+    e = _t(spark, sf, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    return sequence_match(e, _ALT_STEPS, max_gap_s=86400)
+
+
+def _q91_stream_sequence_alternation(spark, sf: str) -> DataFrame:
+    """STREAMING CEP with step alternation — q90's event-time twin
+    through sequence_match_stream (each step matches a SET of types;
+    same state shape, same gap-expiry, same emission rule as q81:
+    matches whose last event time < final watermark)."""
+    from watermark_detector_spark.streaming.state import sequence_match_stream
+
+    src, _ = _events_stream(spark, sf)
+    sm = sequence_match_stream(src, _ALT_STEPS, max_gap_s=86400,
+                               watermark="30 minutes")
+    name = "wmd_q91_" + uuid.uuid4().hex[:8]
+    _run_to_memory(sm, name, "append")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("t_first", _TS_FMT_SPARK).alias("t_first"),
+        F.date_format("t_last", _TS_FMT_SPARK).alias("t_last"),
+        "first_id",
+    )
+
+
 def _q83_url_filter(spark, sf: str) -> DataFrame:
     """URL hygiene filtering (RefinedWeb §3.1 re-expressed): ad/tracker
     host prefixes, spam tokens, path-depth and query-param-farm caps —
@@ -1740,6 +1776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    warcish.register now sets it at runtime) --
         "q84_warcish_source": _q84_warcish_source,
         "q89_semantic_dedup": _q89_semantic_dedup,
+        "q90_sequence_alternation": _q90_sequence_alternation,
+        "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
         # -- new this round (round 5): certify first (the 50-entry
         #    driver cap sees these before anything already green in
         #    CORRECTNESS_r01..r04; union across rounds covers all) --
@@ -2612,6 +2650,48 @@ def oracle_sql() -> dict[str, str]:
                    event_id AS first_id
             FROM l, wm
             WHERE event_type = 'view' AND ty1 = 'view' AND ty2 = 'click'
+              AND ts1 <= ts + INTERVAL 86400 SECOND
+              AND ts2 <= ts1 + INTERVAL 86400 SECOND
+              AND epoch_us(ts2) < wm.wm_us
+        """,
+        "q90_sequence_alternation": """
+            WITH l AS (
+              SELECT user_id, ts, event_type, event_id,
+                     lead(event_type, 1) OVER w AS ty1,
+                     lead(ts, 1) OVER w AS ts1,
+                     lead(event_type, 2) OVER w AS ty2,
+                     lead(ts, 2) OVER w AS ts2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, ts AS t_first, ts2 AS t_last,
+                   event_id AS first_id
+            FROM l
+            WHERE event_type IN ('view', 'click')
+              AND ty1 IN ('view', 'click')
+              AND ty2 IN ('purchase', 'signup')
+              AND ts1 <= ts + INTERVAL 86400 SECOND
+              AND ts2 <= ts1 + INTERVAL 86400 SECOND
+        """,
+        "q91_stream_sequence_alternation": f"""
+            WITH wm AS (
+              SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS wm_us
+              FROM events),
+            l AS (
+              SELECT user_id, ts, event_type, event_id,
+                     lead(event_type, 1) OVER w AS ty1,
+                     lead(ts, 1) OVER w AS ts1,
+                     lead(event_type, 2) OVER w AS ty2,
+                     lead(ts, 2) OVER w AS ts2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id,
+                   strftime(ts, '{_TS_FMT_DUCK}') AS t_first,
+                   strftime(ts2, '{_TS_FMT_DUCK}') AS t_last,
+                   event_id AS first_id
+            FROM l, wm
+            WHERE event_type IN ('view', 'click')
+              AND ty1 IN ('view', 'click')
+              AND ty2 IN ('purchase', 'signup')
               AND ts1 <= ts + INTERVAL 86400 SECOND
               AND ts2 <= ts1 + INTERVAL 86400 SECOND
               AND epoch_us(ts2) < wm.wm_us

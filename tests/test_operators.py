@@ -1211,3 +1211,45 @@ def test_semantic_dedup_greedy_keep_first(spark):
                           n_iters=2).toPandas().set_index("vec_id")
     for i in range(5):
         assert not bool(prod.loc[100000 + i, "keep"])
+
+
+def test_sequence_match_alternation(spark):
+    """Pattern steps accept ALTERNATIVES ((A|B) sets): a step matches
+    any listed type; batch and streaming twins share the normalizer;
+    bad step specs fail on the driver."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from watermark_detector_spark.operators.cep import (
+        normalize_steps,
+        sequence_match,
+    )
+
+    assert normalize_steps(["a", ("c", "b", "b")]) == [["a"], ["b", "c"]]
+    with _pytest.raises(ValueError):
+        normalize_steps(["a", []])
+    with _pytest.raises(ValueError):
+        normalize_steps([("a", 3)])
+
+    T = lambda m: datetime(2024, 1, 1, 10, m, 0)
+    rows = [
+        # u1 matches via view-click-purchase
+        (1, T(0), 1, "view"), (2, T(1), 1, "click"), (3, T(2), 1, "purchase"),
+        # u2 matches via click-view-signup (alternatives at each step)
+        (4, T(0), 2, "click"), (5, T(1), 2, "view"), (6, T(2), 2, "signup"),
+        # u3: final step type outside the alternative set
+        (7, T(0), 3, "view"), (8, T(1), 3, "view"), (9, T(2), 3, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = sorted(
+        (r["user_id"], r["first_id"])
+        for r in sequence_match(
+            df, [("view", "click"), ("view", "click"),
+                 ("purchase", "signup")], max_gap_s=600).collect())
+    assert got == [(1, 1), (2, 4)]
+    # plain-string pattern unchanged (singleton normalization)
+    plain = sequence_match(df, ["view", "click", "purchase"],
+                           max_gap_s=600).collect()
+    assert [(r["user_id"], r["first_id"]) for r in plain] == [(1, 1)]

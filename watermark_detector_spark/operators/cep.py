@@ -28,6 +28,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+Step = "str | list[str] | tuple[str, ...] | set[str]"
+
+
+def normalize_steps(steps: list) -> list[list[str]]:
+    """Each pattern step is a type name OR a set of alternatives
+    (Flink CEP's ``where(a or b)`` / MATCH_RECOGNIZE alternation
+    ``(A|B)``). Normalize to sorted alternative-lists; shared by the
+    batch and streaming sequence matchers so both twins accept the
+    same pattern language."""
+    out = []
+    for s in steps:
+        alts = [s] if isinstance(s, str) else list(s)
+        if not alts or not all(isinstance(a, str) for a in alts):
+            raise ValueError(f"pattern step must be a type name or a "
+                             f"non-empty collection of them, got {s!r}")
+        out.append(sorted(set(alts)))
+    return out
+
 
 def funnel(df: DataFrame, steps: list[str], within_s: int,
            key_col: str = "user_id", ts_col: str = "ts",
@@ -134,7 +152,13 @@ def sequence_match(df: DataFrame, steps: list[str], max_gap_s: int,
     sort-merge pass carrying k-1 lead() columns — the same single
     Exchange+Sort as adjacent_pairs regardless of k, so the shape
     holds at 10^12 events. ``sequence_match_stream`` (streaming/state)
-    is the event-time twin; q81's oracle replays this SQL."""
+    is the event-time twin; q81's oracle replays this SQL.
+
+    Each step may be a single type name or a collection of
+    ALTERNATIVES (MATCH_RECOGNIZE ``(A|B)`` / Flink CEP or-where) —
+    the step matches when the event's type is any of them. Pure isin
+    predicates on the same window pass: alternation costs nothing."""
+    steps = normalize_steps(steps)
     k = len(steps)
     if k < 2:
         raise ValueError(f"sequence_match needs >= 2 steps, got {k}")
@@ -144,10 +168,10 @@ def sequence_match(df: DataFrame, steps: list[str], max_gap_s: int,
         cur = (cur.withColumn(f"_ty{j}", F.lead(type_col, j).over(w))
                .withColumn(f"_ts{j}", F.lead(ts_col, j).over(w)))
     gap = F.expr(f"INTERVAL {int(max_gap_s)} SECOND")
-    cond = F.col(type_col) == steps[0]
+    cond = F.col(type_col).isin(steps[0])
     for j in range(1, k):
         prev_ts = F.col(ts_col) if j == 1 else F.col(f"_ts{j - 1}")
-        cond = (cond & (F.col(f"_ty{j}") == steps[j])
+        cond = (cond & F.col(f"_ty{j}").isin(steps[j])
                 & (F.col(f"_ts{j}") <= prev_ts + gap))
     return cur.where(cond).select(
         key_col,

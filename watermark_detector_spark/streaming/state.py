@@ -292,8 +292,14 @@ SEQUENCE_STATE_SCHEMA = T.StructType(
 
 
 def _sequence_fn_factory(steps: list[str], max_gap_s: int):
+    from watermark_detector_spark.operators.cep import normalize_steps
+
+    # alternation support: each step is a set of acceptable type names
+    # (singletons for plain patterns) — same pattern language as the
+    # batch twin, normalized by the same helper
+    step_sets = [frozenset(alts) for alts in normalize_steps(steps)]
     gap_us = max_gap_s * _US
-    k = len(steps)
+    k = len(step_sets)
 
     def _fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user,) = key
@@ -329,7 +335,7 @@ def _sequence_fn_factory(steps: list[str], max_gap_s: int):
             win = buf[i - k + 1:i + 1]
             if len(win) < k:
                 continue
-            if all(win[j][1] == steps[j] for j in range(k)) and all(
+            if all(win[j][1] in step_sets[j] for j in range(k)) and all(
                     win[j][0] - win[j - 1][0] <= gap_us
                     for j in range(1, k)):
                 out.append({"user_id": user,
