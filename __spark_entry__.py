@@ -1132,6 +1132,59 @@ def _q91_stream_sequence_alternation(spark, sf: str) -> DataFrame:
     )
 
 
+_DOCS_STREAM_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _documents_stream(spark, sf: str):
+    """Replay the documents table as a file stream with a synthetic
+    event time (2025-01-01 + doc_id seconds — deterministic on both
+    engines; the fixture table has no timestamp column). Staged once
+    per (session, sf), cleaned at exit — same caching contract as
+    _events_stream."""
+    key = f"{id(spark)}:{sf}"
+    if key not in _DOCS_STREAM_CACHE:
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+             + F.make_interval(secs=F.col("doc_id").cast("double"))
+             ).alias("ts"),
+            "text",
+        )
+        os.makedirs(_TMP_ROOT, exist_ok=True)
+        out = tempfile.mkdtemp(prefix="wmd_docs_stream_", dir=_TMP_ROOT)
+        d.write.mode("overwrite").parquet(os.path.join(out, "data"))
+        _DOCS_STREAM_CACHE[key] = (out, d.schema)
+        import atexit
+
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    out, schema = _DOCS_STREAM_CACHE[key]
+    return spark.readStream.schema(schema).parquet(os.path.join(out, "data"))
+
+
+def _q92_stream_neardup_gate(spark, sf: str) -> DataFrame:
+    """STREAMING near-duplicate gate (streaming/state.
+    near_dup_gate_stream): minhash-LSH bucket dedup at ingest. Banded
+    minhash rides the scan row-locally (operators/dedup.
+    minhash_bands_col, zero shuffle), per-bucket state remembers the
+    first arrival (two longs), a per-doc bool_and over band verdicts
+    decides keep/drop — first-arrival semantics, Spark's own streaming
+    dropDuplicates contract, with in-batch (ts, id) ordering so the
+    oracle replays it exactly: rank per bucket over ALL docs in
+    (ts, doc_id) order, keep = first in every band, emitted iff
+    ts < final watermark (max ts, ms floor, - 1 min)."""
+    from watermark_detector_spark.streaming.state import near_dup_gate_stream
+
+    src = _documents_stream(spark, sf)
+    gate = near_dup_gate_stream(src, n_bands=4, n=3, watermark="1 minute")
+    name = "wmd_q92_" + uuid.uuid4().hex[:8]
+    _run_to_memory(gate, name, "append")
+    return spark.table(name).select(
+        "doc_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "keep", "n_bands",
+    )
+
+
 def _q83_url_filter(spark, sf: str) -> DataFrame:
     """URL hygiene filtering (RefinedWeb §3.1 re-expressed): ad/tracker
     host prefixes, spam tokens, path-depth and query-param-farm caps —
@@ -1778,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
+        "q92_stream_neardup_gate": _q92_stream_neardup_gate,
         # -- new this round (round 5): certify first (the 50-entry
         #    driver cap sees these before anything already green in
         #    CORRECTNESS_r01..r04; union across rounds covers all) --
@@ -2653,6 +2707,49 @@ def oracle_sql() -> dict[str, str]:
               AND ts1 <= ts + INTERVAL 86400 SECOND
               AND ts2 <= ts1 + INTERVAL 86400 SECOND
               AND epoch_us(ts2) < wm.wm_us
+        """,
+        "q92_stream_neardup_gate": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     TIMESTAMP '2025-01-01 00:00:00'
+                       + to_seconds(doc_id) AS ts,
+                     text
+              FROM documents),
+            wm AS (
+              SELECT (epoch_us(max(ts)) // 1000 - 60000) * 1000 AS wm_us
+              FROM d),
+            toks AS (
+              SELECT doc_id, ts,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM d),
+            sh AS (
+              SELECT DISTINCT doc_id, ts,
+                     unnest(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS shingle
+              FROM toks WHERE len(t) >= 3),
+            b AS (SELECT doc_id, ts, shingle,
+                         unnest(range(0, 4)) AS band FROM sh),
+            sigs AS (
+              SELECT doc_id, ts, band,
+                     min(md5(CAST(band AS VARCHAR) || ':' || shingle))
+                       AS minhash
+              FROM b GROUP BY doc_id, ts, band),
+            ranked AS (
+              SELECT doc_id, ts, band,
+                     row_number() OVER (PARTITION BY band, minhash
+                                        ORDER BY ts, doc_id) AS rn
+              FROM sigs)
+            SELECT doc_id,
+                   strftime(ts, '{_TS_FMT_DUCK}') AS ts,
+                   bool_and(rn = 1) AS keep,
+                   count(*) AS n_bands
+            FROM ranked, wm
+            -- boundary: an agg keyed on the raw event-time column
+            -- evicts at ts <= watermark (windowed aggs use end <= wm,
+            -- and the group's "end" IS its timestamp)
+            WHERE epoch_us(ts) <= wm.wm_us
+            GROUP BY doc_id, ts
         """,
         "q90_sequence_alternation": """
             WITH l AS (

@@ -1148,3 +1148,97 @@ def test_sink_time_travel_as_of_timestamp(spark, tmp_path_factory):
     # ts inside the folded range -> per-batch dirs are gone -> EXPIRED
     with _pytest.raises(ValueError, match="EXPIRED"):
         sink.read(spark, as_of_timestamp=marks[1])
+
+
+def test_neardup_gate_stream_semantics(spark, tmp_path_factory):
+    """Streaming near-dup gate: first arrival in every band keeps,
+    exact copies drop, unrelated docs keep, docs at/above the final
+    watermark stay unemitted; MULTI-BATCH arrival order — a copy that
+    arrives in a later batch drops even though its buckets were
+    registered one batch earlier (first-ARRIVAL contract, like
+    dropDuplicatesWithinWatermark)."""
+    from datetime import datetime
+
+    from datetime import timedelta
+
+    from watermark_detector_spark.streaming.state import near_dup_gate_stream
+
+    T = lambda s: datetime(2024, 1, 1, 10, 0, 0) + timedelta(seconds=s)
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven"
+    batch0 = [(0, T(0), a), (9, T(9), b),
+              (15, T(15), "totally different words entirely unlike anything else")]
+    batch1 = [(5, T(5), a),          # copy of 0, later ARRIVAL: drops
+              (12, T(12), b),        # copy of 9: drops
+              (2000, T(2000), "watermark driver far in the future x")]
+    root = tmp_path_factory.mktemp("ndg_test")
+    src = root / "src"
+    src.mkdir()
+    for i, rs in enumerate([batch0, batch1]):
+        pdf = pd.DataFrame(rs, columns=["doc_id", "ts", "text"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(src / f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = (spark.readStream.schema("doc_id long, ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    gate = near_dup_gate_stream(stream, n_bands=4, n=3,
+                                watermark="1 minute")
+    q = (gate.writeStream.outputMode("append").format("memory")
+         .queryName("ndg_sem")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = {r["doc_id"]: (r["keep"], r["n_bands"])
+           for r in spark.table("ndg_sem").collect()}
+    assert out == {0: (True, 4), 9: (True, 4), 15: (True, 4),
+                   5: (False, 4), 12: (False, 4)}  # 2000: above final wm
+
+
+def test_neardup_gate_stream_ttl_forgets_buckets(spark, tmp_path_factory):
+    """state_ttl_s: a bucket silent for the TTL of event time forgets
+    its first arrival — a later copy then PASSES the gate (bounded
+    state trade, opt-in); without the option the copy still drops."""
+    from datetime import datetime
+
+    from watermark_detector_spark.streaming.state import near_dup_gate_stream
+
+    from datetime import timedelta
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    T = lambda s: datetime(2024, 1, 1, 10, 0, 0) + timedelta(seconds=s)
+    batch0 = [(0, T(0), a)]
+    batch1 = [(1, T(500), "advance watermark beyond ttl for bucket zero")]
+    # timers only fire for buckets with NO data in the batch — this
+    # extra watermark driver is the batch where bucket-0's TTL expires
+    batch2 = [(2, T(560), "second watermark driver lets the timer fire")]
+    batch3 = [(3, T(600), a),   # copy of 0, after bucket-0's TTL
+              (4, T(2000), "final watermark driver far beyond everything")]
+
+    def run(ttl, name):
+        root = tmp_path_factory.mktemp(f"ndg_ttl_{name}")
+        src = root / "src"
+        src.mkdir()
+        for i, rs in enumerate([batch0, batch1, batch2, batch3]):
+            pdf = pd.DataFrame(rs, columns=["doc_id", "ts", "text"])
+            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+            p = str(src / f"b{i}.parquet")
+            pdf.to_parquet(p)
+            os.utime(p, (1700000000 + i, 1700000000 + i))
+        stream = (spark.readStream
+                  .schema("doc_id long, ts timestamp, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        gate = near_dup_gate_stream(stream, n_bands=4, n=3,
+                                    watermark="1 minute", state_ttl_s=ttl)
+        q = (gate.writeStream.outputMode("append").format("memory")
+             .queryName(f"ndg_ttl_{name}")
+             .option("checkpointLocation", str(root / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["doc_id"]: r["keep"]
+                for r in spark.table(f"ndg_ttl_{name}").collect()}
+
+    with_ttl = run(120, "on")      # bucket 0 expires once wm > t0+120
+    assert with_ttl[0] is True and with_ttl[3] is True, with_ttl
+    without = run(None, "off")
+    assert without[0] is True and without[3] is False, without

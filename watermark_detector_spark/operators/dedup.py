@@ -99,6 +99,42 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
     )
 
 
+def minhash_bands_col(text, n_bands: int = 4, n: int = 3):
+    """ROW-LOCAL banded minhash: array<string> of length ``n_bands``
+    where element b is min(md5(b || ':' || shingle)) over the doc's
+    distinct word n-gram shingles — the same signature family as
+    ``minhash_signatures`` but as a pure column expression: no explode,
+    no groupBy, ZERO shuffle, so it rides the scan and (critically) is
+    usable on a STREAMING DataFrame without becoming a stateful
+    aggregation. Empty array when the doc has fewer than ``n`` tokens.
+
+    Catalyst note: ``text`` is referenced once; the shingle array is
+    built inside one nested higher-order expression, so whole-stage
+    codegen keeps it per-row scratch, never materialized."""
+    toks = tokens_col(text)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]),
+        )
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.md5(
+                    F.concat(b.cast("string"), F.lit(":"), s)
+                    .cast("binary")),
+            )
+        ),
+    )
+    # sequence(1, size-2) DESCENDS when size < n — guard to empty
+    return F.when(F.size(toks) >= n, bands).otherwise(
+        F.array().cast("array<string>"))
+
+
 def minhash_signatures(df: DataFrame, n_bands: int = 4, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
     """Per-(doc, band) min-hash over shingles: banded signature table.

@@ -21,6 +21,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -670,4 +671,161 @@ def session_stats(kept: DataFrame, gap: str = "5 minutes",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate gate (minhash-LSH bucket dedup at ingest)
+# ---------------------------------------------------------------------------
+
+NEARDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("band_first", T.BooleanType(), False),
+    ]
+)
+NEARDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_ts_us", T.LongType(), True),
+        T.StructField("first_id", T.LongType(), True),
+    ]
+)
+
+
+def _neardup_fn_factory(state_ttl_s: int | None = None):
+    def _fn(key: tuple, pdf_iter: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        band, _minhash = int(key[0]), key[1]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            first_ts, first_id = (int(v) for v in state.get)
+        else:
+            first_ts, first_id = _UNSET, _UNSET
+        if state.hasTimedOut:
+            # TTL expiry (opt-in): the bucket's remembered first doc
+            # ages out — a much-later near-dup will pass the gate, the
+            # bounded-state trade every production dedup gate makes
+            state.remove()
+            return
+        # ARRIVAL-order decision — the same contract as Spark's own
+        # streaming dropDuplicates(WithinWatermark): the first doc to
+        # ARRIVE owns the bucket; later arrivals are near-dups even if
+        # their event time is smaller (an out-of-order original loses
+        # to its already-admitted copy). Within one micro-batch arrivals
+        # are ordered by (ts, id), so single-batch replays — the oracle,
+        # and any checkpoint replay of a batch — are deterministic.
+        # Verdicts therefore emit in the DATA batch itself, which is
+        # what lets the downstream per-doc combine aggregation evict on
+        # the very next watermark advance (a buffered, event-time-
+        # finalized variant would stall: Spark's watermark simulation
+        # cannot advance past a custom state op that emits nothing).
+        rows = []
+        for pdf in pdf_iter:
+            for ts, did in zip(pdf["ts"], pdf["doc_id"]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if t_us >= wm_us:   # below-watermark arrivals: late
+                    rows.append((t_us, int(did)))
+        rows.sort()
+        out = []
+        for t_us, did in rows:
+            out.append({"doc_id": did,
+                        "ts": pd.Timestamp(t_us, unit="us"),
+                        "band": band,
+                        "band_first": first_ts == _UNSET})
+            if first_ts == _UNSET:
+                first_ts, first_id = t_us, did
+        if first_ts != _UNSET:
+            state.update((first_ts, first_id))
+            if state_ttl_s is not None:
+                # refresh on every arrival: expire only after the bucket
+                # has been silent for state_ttl_s of EVENT time
+                base = max(wm_us, first_ts)
+                state.setTimeoutTimestamp(base // 1000 + state_ttl_s * 1000)
+            # default: the keeper is remembered for the query lifetime —
+            # the batch-equivalence contract (a batch dedup over the
+            # same corpus sees every earlier doc, however old)
+        if out:
+            yield pd.DataFrame(out)
+
+    return _fn
+
+
+def near_dup_gate_stream(docs: DataFrame, n_bands: int = 4, n: int = 3,
+                         watermark: str = "30 minutes",
+                         state_ttl_s: int | None = None,
+                         id_col: str = "doc_id", ts_col: str = "ts",
+                         text_col: str = "text") -> DataFrame:
+    """STREAMING near-duplicate gate: minhash-LSH bucket dedup at
+    ingest — the streaming twin of ``minhash_lsh_candidates`` turned
+    into a keep/drop decision. A doc is KEPT iff it is the FIRST
+    ARRIVAL in EVERY one of its ``n_bands`` minhash band buckets — the
+    same first-arrival contract as Spark's own streaming
+    ``dropDuplicatesWithinWatermark``, with arrivals inside one
+    micro-batch ordered by (ts, id) so batch replays are deterministic.
+    Any bucket already owned by an earlier arrival marks the doc a
+    near-dup. Every doc registers its bands regardless of its own
+    verdict (Bloom-gate semantics: dup-of-a-dup still drops).
+
+    Output (append): (doc_id, ts, keep, n_bands), emitted once the
+    watermark passes the doc's ts. Docs with fewer than ``n`` tokens
+    have no shingles, hence no bands and NO output row — gate such docs
+    separately (they cannot be near-dups under this measure).
+
+    Dataflow: banded minhash is computed ROW-LOCALLY on the stream
+    (operators/dedup.minhash_bands_col — zero shuffle), exploded to one
+    row per (doc, band); per-BUCKET state (keyed on band+minhash) holds
+    ONLY the bucket's first arrival — two longs; a per-doc bool_and
+    over its band verdicts yields the decision. At 10^12 docs the state
+    is one tiny row per distinct bucket — bounded by the opt-in
+    ``state_ttl_s`` expiry, or query-lifetime by default (the
+    batch-equivalence contract).
+
+    Chained-stateful safety argument (this function disables
+    ``spark.sql.streaming.statefulOperator.checkCorrectness.enabled``
+    for the session): the checker blanket-rejects ANY stateful op after
+    an applyInPandasWithState because it cannot bound the event times
+    user code emits. THIS operator can: verdicts are emitted in the
+    SAME micro-batch their doc arrives in, carrying the doc's own ts,
+    which the upstream watermark node has already late-filtered — so
+    every row entering the combine aggregation has ts >= that batch's
+    late-event watermark and is never dropped as late. (The
+    alternative — buffering verdicts until the watermark finalizes
+    event-time order — deadlocks by construction: Spark's watermark
+    simulation cannot advance the downstream operator past a custom
+    state op, so nothing ever evicts. First-arrival semantics are what
+    make the chain live, and they are the semantics streaming dedup
+    ships with everywhere.) Verified end-to-end against the batch
+    replay in tests and the q92 oracle."""
+    from watermark_detector_spark.operators.dedup import minhash_bands_col
+
+    docs.sparkSession.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
+    bands = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"),
+            minhash_bands_col(F.col(text_col), n_bands=n_bands, n=n)
+            .alias("_mh"))
+        .where(F.size("_mh") > 0)
+        .select("doc_id", "ts",
+                F.posexplode("_mh").alias("band", "minhash"))
+    )
+    verdicts = (
+        bands.withWatermark("ts", watermark)
+        .groupBy("band", "minhash")
+        .applyInPandasWithState(
+            _neardup_fn_factory(state_ttl_s),
+            outputStructType=NEARDUP_OUTPUT_SCHEMA,
+            stateStructType=NEARDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        verdicts.withWatermark("ts", watermark)
+        .groupBy("doc_id", "ts")
+        .agg(F.bool_and("band_first").alias("keep"),
+             F.count(F.lit(1)).alias("n_bands"))
     )
