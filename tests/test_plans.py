@@ -187,13 +187,16 @@ def test_adjacent_pattern_is_single_window_pass(spark):
 
 def test_sequence_match_is_single_window_pass(spark):
     """q82 (k-step CEP): k-1 lead() columns must share one keyed sort —
-    exactly one Exchange, at most one Sort, no join, regardless of k."""
-    plan = _plan(entrymod.queries()["q82_sequence_match"](spark, SF))
-    assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
-    n_sorts = sum(1 for ln in plan.splitlines()
-                  if ln.strip().lstrip("+-* ").startswith("Sort "))
-    assert n_sorts <= 1, plan
+    exactly one Exchange, at most one Sort, no join, regardless of k.
+    q90 (per-step ALTERNATION) must keep the identical plan shape:
+    alternation is isin predicates, never a pattern expansion."""
+    for qname in ("q82_sequence_match", "q90_sequence_alternation"):
+        plan = _plan(entrymod.queries()[qname](spark, SF))
+        assert "Join" not in plan, qname
+        assert plan.count("Exchange hashpartitioning") == 1, qname
+        n_sorts = sum(1 for ln in plan.splitlines()
+                      if ln.strip().lstrip("+-* ").startswith("Sort "))
+        assert n_sorts <= 1, (qname, plan)
 
 
 def test_aqe_skew_join_actually_engages(spark):
@@ -251,3 +254,14 @@ def test_aqe_skew_join_actually_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semantic_dedup_no_cartesian_one_cell_exchange(spark):
+    """q89 (SemDeDup): the all-pairs GEMM must never appear — pairs
+    exist only inside a cell, so the plan is one hash Exchange on the
+    cell key feeding FlatMapGroupsInPandas, no join, no cartesian."""
+    plan = _plan(entrymod.queries()["q89_semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
