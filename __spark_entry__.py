@@ -1132,6 +1132,50 @@ def _q91_stream_sequence_alternation(spark, sf: str) -> DataFrame:
     )
 
 
+def _q93_kleene_match(spark, sf: str) -> DataFrame:
+    """Batch CEP with a Kleene quantifier: MATCH_RECOGNIZE
+    PATTERN(click view+ (purchase|error)) with strict contiguity,
+    GREEDY-MAXIMAL runs (A B B C emits ONE match with n_mid=2, never
+    the nested sub-match) and 24 h max gap between consecutive events.
+    Run-length encoding as chained window expressions over ONE keyed
+    sort, then a (key, run)-grouped aggregate that reuses the window's
+    hash partitioning — one Exchange total, no self-join, no pattern
+    expansion (operators/cep.kleene_match; plan pinned in
+    tests/test_plans.py). The oracle replays the identical RLE in
+    window SQL."""
+    from watermark_detector_spark.operators.cep import kleene_match
+
+    e = _t(spark, sf, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    return kleene_match(e, "click", "view", ["purchase", "error"],
+                        max_gap_s=86400)
+
+
+def _q94_stream_kleene(spark, sf: str) -> DataFrame:
+    """STREAMING Kleene CEP — q93's event-time twin
+    (streaming/state.kleene_match_stream): the same greedy-maximal
+    PATTERN(click view+ (purchase|error)) advanced by an O(1)-state
+    run-length automaton over watermark-FINALIZED events, so state per
+    key is the pending buffer plus eleven scalars no matter how long a
+    view+ run grows. Emission rule the oracle replays: the batch q93
+    RLE over exactly the events strictly below the final watermark
+    (max event time ms-floored, minus 30 min)."""
+    from watermark_detector_spark.streaming.state import kleene_match_stream
+
+    src, _ = _events_stream(spark, sf)
+    km = kleene_match_stream(src, "click", "view", ["purchase", "error"],
+                             max_gap_s=86400, watermark="30 minutes")
+    name = "wmd_q94_" + uuid.uuid4().hex[:8]
+    _run_to_memory(km, name, "append")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("t_first", _TS_FMT_SPARK).alias("t_first"),
+        F.date_format("t_last", _TS_FMT_SPARK).alias("t_last"),
+        "n_mid",
+        "first_id",
+    )
+
+
 _DOCS_STREAM_CACHE: dict[str, tuple[str, object]] = {}
 
 
@@ -1832,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
         "q92_stream_neardup_gate": _q92_stream_neardup_gate,
+        "q93_kleene_match": _q93_kleene_match,
+        "q94_stream_kleene": _q94_stream_kleene,
         # -- new this round (round 5): certify first (the 50-entry
         #    driver cap sees these before anything already green in
         #    CORRECTNESS_r01..r04; union across rounds covers all) --
@@ -2792,6 +2838,100 @@ def oracle_sql() -> dict[str, str]:
               AND ts1 <= ts + INTERVAL 86400 SECOND
               AND ts2 <= ts1 + INTERVAL 86400 SECOND
               AND epoch_us(ts2) < wm.wm_us
+        """,
+        # Kleene RLE replay: a view-run breaks where the previous row is
+        # absent / not a view / gap-violating; the break row's lag_* is
+        # the A candidate, the run-closing row's lead_* the C candidate.
+        "q93_kleene_match": """
+            WITH l AS (
+              SELECT user_id, ts, event_type AS ty, event_id AS eid,
+                     event_type = 'view' AS ismid,
+                     lag(event_type) OVER w AS lty,
+                     lag(ts) OVER w AS lts,
+                     lag(event_id) OVER w AS lid,
+                     lead(event_type) OVER w AS nty,
+                     lead(ts) OVER w AS nts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (
+              SELECT *,
+                     ismid AND (lty IS NULL OR lty <> 'view'
+                                OR ts > lts + INTERVAL 86400 SECOND) AS brk,
+                     (nty IS NULL OR nty <> 'view'
+                      OR nts > ts + INTERVAL 86400 SECOND) AS islast,
+                     sum(CASE WHEN ismid AND (lty IS NULL OR lty <> 'view'
+                                OR ts > lts + INTERVAL 86400 SECOND)
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, eid
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM l),
+            g AS (
+              SELECT user_id, run_id,
+                     count(*) AS n_mid,
+                     min(ts) AS tfm, max(ts) AS tlm,
+                     max(CASE WHEN brk THEN lty END) AS aty,
+                     max(CASE WHEN brk THEN lts END) AS ats,
+                     max(CASE WHEN brk THEN lid END) AS aid,
+                     max(CASE WHEN islast THEN nty END) AS zty,
+                     max(CASE WHEN islast THEN nts END) AS zts
+              FROM r WHERE ismid GROUP BY user_id, run_id)
+            SELECT user_id, ats AS t_first, zts AS t_last, n_mid,
+                   aid AS first_id
+            FROM g
+            WHERE aty = 'click' AND tfm <= ats + INTERVAL 86400 SECOND
+              AND zty IN ('purchase', 'error')
+              AND zts <= tlm + INTERVAL 86400 SECOND
+        """,
+        # the streaming twin's emission rule: the SAME RLE over exactly
+        # the events strictly below the final watermark
+        "q94_stream_kleene": f"""
+            WITH wm AS (
+              SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS wm_us
+              FROM events),
+            fin AS (
+              SELECT user_id, ts, event_type, event_id
+              FROM events, wm WHERE epoch_us(ts) < wm.wm_us),
+            l AS (
+              SELECT user_id, ts, event_type AS ty, event_id AS eid,
+                     event_type = 'view' AS ismid,
+                     lag(event_type) OVER w AS lty,
+                     lag(ts) OVER w AS lts,
+                     lag(event_id) OVER w AS lid,
+                     lead(event_type) OVER w AS nty,
+                     lead(ts) OVER w AS nts
+              FROM fin
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (
+              SELECT *,
+                     ismid AND (lty IS NULL OR lty <> 'view'
+                                OR ts > lts + INTERVAL 86400 SECOND) AS brk,
+                     (nty IS NULL OR nty <> 'view'
+                      OR nts > ts + INTERVAL 86400 SECOND) AS islast,
+                     sum(CASE WHEN ismid AND (lty IS NULL OR lty <> 'view'
+                                OR ts > lts + INTERVAL 86400 SECOND)
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, eid
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM l),
+            g AS (
+              SELECT user_id, run_id,
+                     count(*) AS n_mid,
+                     min(ts) AS tfm, max(ts) AS tlm,
+                     max(CASE WHEN brk THEN lty END) AS aty,
+                     max(CASE WHEN brk THEN lts END) AS ats,
+                     max(CASE WHEN brk THEN lid END) AS aid,
+                     max(CASE WHEN islast THEN nty END) AS zty,
+                     max(CASE WHEN islast THEN nts END) AS zts
+              FROM r WHERE ismid GROUP BY user_id, run_id)
+            SELECT user_id,
+                   strftime(ats, '{_TS_FMT_DUCK}') AS t_first,
+                   strftime(zts, '{_TS_FMT_DUCK}') AS t_last,
+                   n_mid,
+                   aid AS first_id
+            FROM g
+            WHERE aty = 'click' AND tfm <= ats + INTERVAL 86400 SECOND
+              AND zty IN ('purchase', 'error')
+              AND zts <= tlm + INTERVAL 86400 SECOND
         """,
         "q74_stream_pattern": f"""
             WITH wm AS (

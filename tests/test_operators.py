@@ -1253,3 +1253,44 @@ def test_sequence_match_alternation(spark):
     plain = sequence_match(df, ["view", "click", "purchase"],
                            max_gap_s=600).collect()
     assert [(r["user_id"], r["first_id"]) for r in plain] == [(1, 1)]
+
+
+def test_kleene_match_greedy_maximal_runs(spark):
+    """kleene_match(): PATTERN (A B+ C) — greedy-maximal B runs, strict
+    contiguity, gap breaks, alternation on A, and the C-of-one-match
+    serving as the A of the next."""
+    from datetime import datetime
+
+    from watermark_detector_spark.operators.cep import kleene_match
+
+    T = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+    rows = [
+        # u1: click view view purchase -> ONE match, n_mid=2 (never the
+        # nested 1-mid sub-match)
+        (1, T(0), 1, "click"), (2, T(1), 1, "view"),
+        (3, T(2), 1, "view"), (4, T(3), 1, "purchase"),
+        # u2: wrong closer
+        (5, T(0), 2, "click"), (6, T(1), 2, "view"), (7, T(2), 2, "error"),
+        # u3: gap breaks the run (24 min > 600 s); the second run's
+        # predecessor is a view, not an A -> nothing emits
+        (8, T(0), 3, "click"), (9, T(1), 3, "view"),
+        (10, T(25), 3, "view"), (11, T(26), 3, "purchase"),
+        # u4: A in {click, purchase} -> the first match's purchase is
+        # the A of the second match
+        (12, T(0), 4, "click"), (13, T(1), 4, "view"),
+        (14, T(2), 4, "purchase"), (15, T(3), 4, "view"),
+        (16, T(4), 4, "purchase"),
+        # u5: run at the head of the key (no predecessor)
+        (17, T(0), 5, "view"), (18, T(1), 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = sorted(
+        (r["user_id"], r["t_first"], r["t_last"], r["n_mid"], r["first_id"])
+        for r in kleene_match(df, ["click", "purchase"], "view", "purchase",
+                              max_gap_s=600).collect())
+    assert got == [
+        (1, T(0), T(3), 2, 1),
+        (4, T(0), T(2), 1, 12),
+        (4, T(2), T(4), 1, 14),
+    ]

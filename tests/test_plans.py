@@ -265,3 +265,12 @@ def test_semantic_dedup_no_cartesian_one_cell_exchange(spark):
     assert "Join" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_kleene_match_one_exchange_no_join(spark):
+    """q93 (Kleene B+): RLE as chained windows over one keyed sort, and
+    the (key, run) aggregate must REUSE the window's hash partitioning —
+    one Exchange total, never a self-join or pattern expansion."""
+    plan = _plan(entrymod.queries()["q93_kleene_match"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -1242,3 +1242,70 @@ def test_neardup_gate_stream_ttl_forgets_buckets(spark, tmp_path_factory):
     assert with_ttl[0] is True and with_ttl[3] is True, with_ttl
     without = run(None, "off")
     assert without[0] is True and without[3] is False, without
+
+
+def test_kleene_match_stream_equals_batch(spark, tmp_path_factory):
+    """kleene_match_stream == batch kleene_match over the finalized
+    events — including a B+ run whose events FINALIZE IN DIFFERENT
+    MICRO-BATCHES, proving the O(1) automaton carries run state across
+    batches without retaining finalized events."""
+    from datetime import datetime
+
+    from watermark_detector_spark.operators.cep import kleene_match
+    from watermark_detector_spark.streaming.state import kleene_match_stream
+
+    T = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+    batch0 = [
+        (1, T(0), 1, "click"), (2, T(1), 1, "view"),
+        (3, T(2), 1, "view"), (4, T(3), 1, "purchase"),
+        (5, T(0), 4, "click"), (6, T(1), 4, "view"),
+        (7, T(2), 4, "purchase"), (8, T(3), 4, "view"),
+        (9, T(4), 4, "purchase"),
+        # u6: run OPENS here (click + first view)...
+        (10, T(0), 6, "click"), (11, T(1), 6, "view"),
+        (30, T(10), 9, "error"),  # wm driver: finalizes u6's open run
+    ]
+    batch1 = [
+        # ...and CLOSES here, after the opening events already
+        # finalized (wm after batch0 = T(9); the continuation stays
+        # above it so nothing is late)
+        (12, T(9, 30), 6, "view"), (13, T(10, 30), 6, "purchase"),
+        (31, T(58), 9, "error"), (32, T(59), 9, "error"),
+    ]
+    all_rows = batch0 + batch1
+    df = spark.createDataFrame(
+        all_rows,
+        "event_id long, ts timestamp, user_id long, event_type string")
+    want = sorted(
+        (r["user_id"], r["t_first"], r["t_last"], r["n_mid"], r["first_id"])
+        for r in kleene_match(
+            df.where("ts < timestamp'2024-01-01 10:58:00'"),
+            ["click", "purchase"], "view", "purchase",
+            max_gap_s=3600).collect())
+    assert (6, T(0), T(10, 30), 2, 10) in want  # the cross-batch run
+
+    root = tmp_path_factory.mktemp("kleene_eq")
+    src_dir = root / "src"
+    src_dir.mkdir()
+    for i, rs in enumerate([batch0, batch1]):
+        pdf = pd.DataFrame(rs, columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(src_dir / f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    sm = kleene_match_stream(stream, ["click", "purchase"], "view",
+                             "purchase", max_gap_s=3600,
+                             watermark="1 minute")
+    q = (sm.writeStream.outputMode("append").format("memory")
+         .queryName("kleene_eq_test")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["t_first"], r["t_last"], r["n_mid"], r["first_id"])
+        for r in spark.table("kleene_eq_test").collect())
+    assert got == want and len(got) >= 4

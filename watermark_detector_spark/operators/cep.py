@@ -179,3 +179,84 @@ def sequence_match(df: DataFrame, steps: list[str], max_gap_s: int,
         F.col(f"_ts{k - 1}").alias("t_last"),
         F.col(id_col).alias("first_id"),
     )
+
+
+def kleene_match(df: DataFrame, first: Step, mid: Step, last: Step,
+                 max_gap_s: int, key_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 id_col: str = "event_id") -> DataFrame:
+    """MATCH_RECOGNIZE ``PATTERN (A B+ C)`` with STRICT contiguity and
+    GREEDY-MAXIMAL quantification: per key — ordered by (ts, id) — an
+    event matching ``first``, immediately followed by a MAXIMAL run of
+    >=1 consecutive events matching ``mid``, immediately followed by an
+    event matching ``last``, every consecutive gap <= ``max_gap_s``.
+    Greedy-maximal means the ``B+`` consumes the whole consecutive run:
+    ``A B B B C`` emits ONE match with n_mid=3, never the nested
+    sub-matches — the deterministic one-answer semantics an independent
+    SQL engine can replay (the driver oracle does). Each step accepts
+    the same alternation language as ``sequence_match``.
+
+    Output: (key, t_first, t_last, n_mid, first_id) where t_first is
+    the A event's timestamp and first_id its id.
+
+    Shape at 10^12 events: run-length encoding as chained window
+    expressions over ONE keyed sort (a run breaks where the mid-
+    predicate flips or the gap rule fails), then a groupBy on
+    (key, run_id) — a refinement of the window's hash partitioning, so
+    Catalyst plans NO second Exchange (pinned in tests/test_plans.py).
+    Never a self-join, never pattern expansion.
+    """
+    firsts, mids, lasts = normalize_steps([first, mid, last])
+    gap = F.expr(f"INTERVAL {int(max_gap_s)} SECOND")
+    w = W.partitionBy(key_col).orderBy(ts_col, id_col)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ty, ts = F.col(type_col), F.col(ts_col)
+    lagged = df.select(key_col, ts_col, type_col, id_col).select(
+        "*",
+        ty.isin(mids).alias("_ismid"),
+        F.lag(type_col).over(w).alias("_lty"),
+        F.lag(ts_col).over(w).alias("_lts"),
+        F.lag(id_col).over(w).alias("_lid"),
+        F.lead(type_col).over(w).alias("_nty"),
+        F.lead(ts_col).over(w).alias("_nts"),
+    )
+    # a mid-run BREAKS where the previous row is absent, not mid, or
+    # violates the gap rule; the break row is the run's FIRST row, so
+    # its lag_* columns are the A candidate. Symmetrically the run's
+    # LAST row is where the next row stops being a gap-respecting mid,
+    # and its lead_* columns are the C candidate.
+    brk = F.col("_ismid") & (
+        F.col("_lty").isNull() | ~F.col("_lty").isin(mids)
+        | (ts > F.col("_lts") + gap))
+    is_last = (F.col("_nty").isNull() | ~F.col("_nty").isin(mids)
+               | (F.col("_nts") > ts + gap))
+    runs = lagged.select(
+        "*", brk.alias("_brk"), is_last.alias("_islast"),
+        F.sum(brk.cast("int")).over(wcum).alias("_run"),
+    )
+    per_run = (
+        runs.where("_ismid")
+        .groupBy(key_col, "_run")
+        .agg(
+            F.count("*").alias("n_mid"),
+            F.min(ts_col).alias("_t_mid_first"),
+            F.max(ts_col).alias("_t_mid_last"),
+            F.max(F.when(F.col("_brk"), F.col("_lty"))).alias("_aty"),
+            F.max(F.when(F.col("_brk"), F.col("_lts"))).alias("_ats"),
+            F.max(F.when(F.col("_brk"), F.col("_lid"))).alias("_aid"),
+            F.max(F.when(F.col("_islast"), F.col("_nty"))).alias("_zty"),
+            F.max(F.when(F.col("_islast"), F.col("_nts"))).alias("_zts"),
+        )
+    )
+    return per_run.where(
+        F.col("_aty").isin(firsts)
+        & (F.col("_t_mid_first") <= F.col("_ats") + gap)
+        & F.col("_zty").isin(lasts)
+        & (F.col("_zts") <= F.col("_t_mid_last") + gap)
+    ).select(
+        key_col,
+        F.col("_ats").alias("t_first"),
+        F.col("_zts").alias("t_last"),
+        "n_mid",
+        F.col("_aid").alias("first_id"),
+    )

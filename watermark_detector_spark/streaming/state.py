@@ -829,3 +829,152 @@ def near_dup_gate_stream(docs: DataFrame, n_bands: int = 4, n: int = 3,
         .agg(F.bool_and("band_first").alias("keep"),
              F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+KLEENE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("t_first", T.TimestampType(), False),
+        T.StructField("t_last", T.TimestampType(), False),
+        T.StructField("n_mid", T.LongType(), False),
+        T.StructField("first_id", T.LongType(), False),
+    ]
+)
+# pending buffer + an O(1) run-length automaton: the previous finalized
+# event (adjacency/A-candidate) and the current mid-run accumulator.
+# -1 sentinels stand in for "absent" (state columns can't be scalar
+# NULLs across the Arrow boundary without object-dtype churn).
+KLEENE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buf_ts_us", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_types", T.ArrayType(T.StringType()), True),
+        T.StructField("buf_ids", T.ArrayType(T.LongType()), True),
+        T.StructField("prev_ts_us", T.LongType(), True),
+        T.StructField("prev_type", T.StringType(), True),
+        T.StructField("prev_id", T.LongType(), True),
+        T.StructField("a_ok", T.LongType(), True),
+        T.StructField("a_ts_us", T.LongType(), True),
+        T.StructField("a_id", T.LongType(), True),
+        T.StructField("n_mid", T.LongType(), True),
+        T.StructField("last_mid_ts_us", T.LongType(), True),
+    ]
+)
+
+
+def _kleene_fn_factory(first, mid, last, max_gap_s: int):
+    from watermark_detector_spark.operators.cep import normalize_steps
+
+    firsts, mids, lasts = (frozenset(s)
+                           for s in normalize_steps([first, mid, last]))
+    gap_us = max_gap_s * _US
+
+    def _fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            (ts_l, ty_l, id_l, prev_ts, prev_ty, prev_id,
+             a_ok, a_ts, a_id, n_mid, last_mid) = state.get
+            buf = [(int(t), str(y), int(i))
+                   for t, y, i in zip(ts_l, ty_l, id_l)]
+            prev_ts, prev_id = int(prev_ts), int(prev_id)
+            a_ok, a_ts, a_id = int(a_ok), int(a_ts), int(a_id)
+            n_mid, last_mid = int(n_mid), int(last_mid)
+        else:
+            buf = []
+            prev_ts, prev_ty, prev_id = -1, "", -1
+            a_ok, a_ts, a_id, n_mid, last_mid = 0, -1, -1, 0, -1
+        if not state.hasTimedOut:
+            chunks = [p for p in pdf_iter if len(p)]
+            if chunks:
+                rows = pd.concat(chunks, ignore_index=True)
+                for ts, ty, eid in zip(rows["ts"], rows["event_type"],
+                                       rows["event_id"]):
+                    t_us = int(pd.Timestamp(ts).value // 1000)
+                    if t_us < wm_us:
+                        continue  # late by watermark: dropped
+                    buf.append((t_us, str(ty), int(eid)))
+        buf.sort(key=lambda r: (r[0], r[2]))
+        out = []
+        pending = []
+        # advance the automaton over the newly FINALIZED prefix — the
+        # exact incremental form of the batch RLE (operators/cep.
+        # kleene_match): a mid event extends the run iff its immediate
+        # predecessor was a gap-respecting mid, else starts a fresh run
+        # whose A-candidate is that predecessor; a non-mid event closes
+        # the run, emitting iff it is a gap-respecting ``last`` and the
+        # run opened with a gap-respecting ``first``.
+        for t_us, ty, eid in buf:
+            if t_us >= wm_us:
+                pending.append((t_us, ty, eid))
+                continue
+            if ty in mids:
+                if n_mid > 0 and t_us <= last_mid + gap_us:
+                    n_mid += 1
+                else:
+                    a_ok = int(prev_ts >= 0 and prev_ty in firsts
+                               and t_us <= prev_ts + gap_us)
+                    a_ts, a_id, n_mid = prev_ts, prev_id, 1
+                last_mid = t_us
+            else:
+                if (n_mid > 0 and a_ok and ty in lasts
+                        and t_us <= last_mid + gap_us):
+                    out.append({"user_id": user,
+                                "t_first": pd.Timestamp(a_ts, unit="us"),
+                                "t_last": pd.Timestamp(t_us, unit="us"),
+                                "n_mid": n_mid,
+                                "first_id": a_id})
+                n_mid = 0
+            prev_ts, prev_ty, prev_id = t_us, ty, eid
+        if pending:
+            state.update((
+                [r[0] for r in pending], [r[1] for r in pending],
+                [r[2] for r in pending], prev_ts, prev_ty, prev_id,
+                a_ok, a_ts, a_id, n_mid, last_mid,
+            ))
+            state.setTimeoutTimestamp(pending[0][0] // 1000 + 1)
+        elif prev_ts >= 0 and wm_us <= prev_ts + gap_us:
+            # no pending work but the last finalized event can still be
+            # the A (or the run can still extend/close): both require a
+            # future event within gap of prev_ts, and future events have
+            # ts >= wm — expire once the watermark passes prev_ts + gap
+            # (same bounded-state contract as sequence_match_stream).
+            state.update(([], [], [], prev_ts, prev_ty, prev_id,
+                          a_ok, a_ts, a_id, n_mid, last_mid))
+            state.setTimeoutTimestamp((prev_ts + gap_us) // 1000 + 1)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return _fn
+
+
+def kleene_match_stream(events: DataFrame, first, mid, last,
+                        max_gap_s: int,
+                        watermark: str = "30 minutes") -> DataFrame:
+    """STREAMING ``PATTERN (A B+ C)`` with strict contiguity and
+    greedy-maximal quantification — the event-time twin of
+    operators/cep.kleene_match. Events are buffered above the
+    watermark and fed to an O(1)-state run-length automaton in
+    finalized event-time order, so out-of-order arrival cannot corrupt
+    the run structure; a match emits in the micro-batch where its C
+    event drops below the watermark. Unlike the k-step matcher the
+    automaton never retains finalized events — state is the pending
+    buffer plus eleven scalars (previous event + run accumulator),
+    regardless of how long a B+ run grows, and expires via event-time
+    timer once the watermark passes last_event + max_gap. Emission
+    contract (what the driver oracle replays): exactly the batch
+    ``kleene_match`` over the events strictly below the final
+    watermark."""
+    return (
+        events.select("user_id", "ts", "event_type", "event_id")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _kleene_fn_factory(first, mid, last, max_gap_s),
+            outputStructType=KLEENE_OUTPUT_SCHEMA,
+            stateStructType=KLEENE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
