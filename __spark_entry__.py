@@ -1176,6 +1176,21 @@ def _q94_stream_kleene(spark, sf: str) -> DataFrame:
     )
 
 
+def _q95_bm25_rank(spark, sf: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for the bag-of-words query
+    (join, hash, vector) — corpus search / relevance-targeted sampling
+    (functions/ranking.bm25_rank). ZERO wide shuffles: per-term tf and
+    doc length are array expressions riding the scan (no explode),
+    corpus stats (N, avgdl, per-term df) reduce to ONE broadcast row,
+    and the top-k plans TakeOrderedAndProject — the cost is two
+    codegen'd scans at any corpus size. Scores ship as HALF_UP integer
+    micro-units so the DuckDB replay ranks identically."""
+    from watermark_detector_spark.functions.ranking import bm25_rank
+
+    return bm25_rank(_t(spark, sf, "documents"),
+                     ["join", "hash", "vector"], topk=20)
+
+
 _DOCS_STREAM_CACHE: dict[str, tuple[str, object]] = {}
 
 
@@ -1878,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_stream_neardup_gate": _q92_stream_neardup_gate,
         "q93_kleene_match": _q93_kleene_match,
         "q94_stream_kleene": _q94_stream_kleene,
+        "q95_bm25_rank": _q95_bm25_rank,
         # -- new this round (round 5): certify first (the 50-entry
         #    driver cap sees these before anything already green in
         #    CORRECTNESS_r01..r04; union across rounds covers all) --
@@ -2932,6 +2948,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE aty = 'click' AND tfm <= ats + INTERVAL 86400 SECOND
               AND zty IN ('purchase', 'error')
               AND zts <= tlm + INTERVAL 86400 SECOND
+        """,
+        # identical double-precision BM25 formula, identical HALF_UP
+        # micro-rounding; tf/dl as list expressions mirroring the
+        # Spark array expressions
+        "q95_bm25_rank": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            tf AS (
+              SELECT doc_id, len(t) AS dl,
+                     len(list_filter(t, x -> x = 'join')) AS tf0,
+                     len(list_filter(t, x -> x = 'hash')) AS tf1,
+                     len(list_filter(t, x -> x = 'vector')) AS tf2
+              FROM tok),
+            stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM tf),
+            scored AS (
+              SELECT doc_id,
+                     (CASE WHEN tf0 > 0 THEN
+                        ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE)
+                                  + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+                        * CAST(tf0 AS DOUBLE) * 2.2
+                        / (CAST(tf0 AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                    / avgdl))
+                      ELSE 0.0 END
+                      + CASE WHEN tf1 > 0 THEN
+                        ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE)
+                                  + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+                        * CAST(tf1 AS DOUBLE) * 2.2
+                        / (CAST(tf1 AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                    / avgdl))
+                      ELSE 0.0 END
+                      + CASE WHEN tf2 > 0 THEN
+                        ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE)
+                                  + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+                        * CAST(tf2 AS DOUBLE) * 2.2
+                        / (CAST(tf2 AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                    / avgdl))
+                      ELSE 0.0 END) AS score,
+                     (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms
+              FROM tf, stats)
+            SELECT doc_id,
+                   CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micro,
+                   n_terms
+            FROM scored WHERE n_terms > 0
+            ORDER BY score_micro DESC, doc_id LIMIT 20
         """,
         "q74_stream_pattern": f"""
             WITH wm AS (

@@ -1294,3 +1294,42 @@ def test_kleene_match_greedy_maximal_runs(spark):
         (4, T(0), T(2), 1, 12),
         (4, T(2), T(4), 1, 14),
     ]
+
+
+def test_bm25_rank_matches_reference(spark):
+    """bm25_rank(): exact Okapi BM25 against the pure-Python reference,
+    including ranking tie-break by doc_id and zero-match exclusion."""
+    import math
+
+    from watermark_detector_spark.functions.ranking import (
+        bm25_rank,
+        bm25_score_py,
+    )
+
+    texts = [
+        "spark join hash join merge",          # tf(join)=2
+        "hash hash hash table probe",          # high tf, short doc
+        "vector scan filter project window",
+        "no query words at all here",
+        "join",                                # tiny doc
+        "hash join vector hash join vector " * 10,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r["doc_id"], r["score_micro"], r["n_terms"])
+           for r in bm25_rank(df, ["join", "hash", "vector"],
+                              topk=10).collect()]
+    scores = bm25_score_py(texts, ["join", "hash", "vector"])
+    want = sorted(
+        ((i, math.floor(s * 1e6 + 0.5)) for i, s in enumerate(scores)
+         if s > 0),
+        key=lambda x: (-x[1], x[0]))
+    assert [(d, s) for d, s, _ in got] == want
+    assert dict((d, n) for d, _, n in got)[5] == 3  # all three terms
+    assert 3 not in [d for d, _, _ in got]          # zero-match excluded
+
+    import pytest
+    with pytest.raises(ValueError):
+        bm25_rank(df, [])
+    with pytest.raises(ValueError):
+        bm25_rank(df, ["join", "join"])

@@ -274,3 +274,14 @@ def test_kleene_match_one_exchange_no_join(spark):
     plan = _plan(entrymod.queries()["q93_kleene_match"](spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bm25_zero_wide_shuffle(spark):
+    """q95 (BM25): tf/dl ride the scan as array expressions, stats
+    reduce to one broadcast row, top-k is TakeOrderedAndProject — the
+    plan must contain NO hash-partitioned Exchange and no Join beyond
+    the broadcast nested loop of the single stats row."""
+    plan = _plan(entrymod.queries()["q95_bm25_rank"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
