@@ -1191,6 +1191,22 @@ def _q95_bm25_rank(spark, sf: str) -> DataFrame:
                      ["join", "hash", "vector"], topk=20)
 
 
+def _q96_span_dedup(spark, sf: str) -> DataFrame:
+    """Cross-document EXACT SPAN dedup (C4 / Lee et al. ExactSubstr
+    family, operators/dedup.exact_span_dedup): every 2-pseudo-line
+    span (' a ' delimiter — the fixture corpus has no newlines) is
+    hashed corpus-wide; first occurrence by (doc, start) keeps, every
+    other occurrence's lines are removed and the doc REBUILT. Span
+    hashes ride the scan; dup detection is one shuffle on the span
+    hash; removals reduce per doc and join back on the doc key —
+    linear and keyed end to end. The oracle replays the identical
+    hash/keeper/rebuild rule in DuckDB list SQL."""
+    from watermark_detector_spark.operators.dedup import exact_span_dedup
+
+    return exact_span_dedup(_t(spark, sf, "documents"), n=2,
+                            line_delim=" a ")
+
+
 _DOCS_STREAM_CACHE: dict[str, tuple[str, object]] = {}
 
 
@@ -1894,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_kleene_match": _q93_kleene_match,
         "q94_stream_kleene": _q94_stream_kleene,
         "q95_bm25_rank": _q95_bm25_rank,
+        "q96_span_dedup": _q96_span_dedup,
         # -- new this round (round 5): certify first (the 50-entry
         #    driver cap sees these before anything already green in
         #    CORRECTNESS_r01..r04; union across rounds covers all) --
@@ -3006,6 +3023,43 @@ def oracle_sql() -> dict[str, str]:
                    n_terms
             FROM scored WHERE n_terms > 0
             ORDER BY score_micro DESC, doc_id LIMIT 20
+        """,
+        # identical span-hash / first-keeper / rebuild rule in list SQL
+        "q96_span_dedup": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(list_transform(str_split(text, ' a '),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS l
+              FROM documents),
+            spj AS (
+              SELECT doc_id, l, unnest(range(1, len(l))) AS j FROM tok),
+            sp AS (
+              SELECT doc_id, j,
+                     md5(array_to_string(list_slice(l, j, j + 1),
+                                         chr(1))) AS h
+              FROM spj),
+            ranked AS (
+              SELECT doc_id, j, h,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, j) AS rn
+              FROM sp),
+            remv AS (
+              SELECT doc_id, unnest(range(j, j + 2)) AS idx
+              FROM ranked WHERE rn > 1),
+            rm AS (
+              SELECT doc_id, list_sort(list(DISTINCT idx)) AS rml
+              FROM remv GROUP BY doc_id)
+            SELECT t.doc_id,
+                   array_to_string(
+                     list_transform(
+                       list_filter(range(1, len(l) + 1),
+                                   i -> NOT list_contains(
+                                          coalesce(rml, []), i)),
+                       i -> l[i]),
+                     ' a ') AS text_clean,
+                   len(coalesce(rml, [])) AS n_lines_removed
+            FROM tok t LEFT JOIN rm USING (doc_id)
         """,
         "q74_stream_pattern": f"""
             WITH wm AS (

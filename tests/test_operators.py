@@ -1333,3 +1333,34 @@ def test_bm25_rank_matches_reference(spark):
         bm25_rank(df, [])
     with pytest.raises(ValueError):
         bm25_rank(df, ["join", "join"])
+
+
+def test_exact_span_dedup_semantics(spark):
+    """exact_span_dedup(): first occurrence keeps, later occurrences'
+    lines removed, within-doc repeats handled, short/empty docs pass
+    through, docs rebuilt from surviving lines."""
+    from watermark_detector_spark.operators.dedup import exact_span_dedup
+
+    rows = [
+        (0, "a\nb\nc\nd\ne"),          # keeper of (a,b,c),(b,c,d),(c,d,e)
+        (1, "x\nb\nc\nd\ny"),          # its (b,c,d) copy is removed
+        (2, "p\nq\nr\np\nq\nr"),       # self-duplicate: second run removed
+        (3, "one\ntwo"),               # < n lines: untouched
+        (4, ""),                       # empty doc survives as empty
+        (5, "  zz  \n\n ww \n vv "),   # trims/drops blanks, no dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+           for r in exact_span_dedup(df, n=3, line_delim="\n").collect()}
+    assert got == {
+        0: ("a\nb\nc\nd\ne", 0),
+        1: ("x\ny", 3),
+        2: ("p\nq\nr", 3),
+        3: ("one\ntwo", 0),
+        4: ("", 0),
+        5: ("zz\nww\nvv", 0),
+    }
+
+    import pytest
+    with pytest.raises(ValueError):
+        exact_span_dedup(df, n=0)

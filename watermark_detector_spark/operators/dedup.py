@@ -410,3 +410,77 @@ def decontaminate(train: DataFrame, holdout: DataFrame, n: int = 3,
     on the doc key) — the apply-side of decontamination."""
     flagged = contaminated_ids(train, holdout, n, window, id_col, text_col)
     return train.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def exact_span_dedup(docs: DataFrame, n: int = 3, line_delim: str = "\n",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Cross-document EXACT SPAN dedup (the C4 / "Deduplicating
+    Training Data" ExactSubstr family): every run of ``n`` consecutive
+    lines is hashed corpus-wide; when the same span occurs more than
+    once, the FIRST occurrence — ordered by (doc, start line) — is the
+    keeper and every other occurrence's lines are removed from their
+    documents, which are then rebuilt. Single pass (no iteration):
+    a keeper's own lines may also be removed by a DIFFERENT overlapping
+    duplicated span, matching the published single-sweep behavior.
+
+    Output: (id_col, text_clean, n_lines_removed) for EVERY input doc —
+    text_clean is the delim-join of the surviving trimmed non-empty
+    lines (whitespace is normalized by reconstruction; callers needing
+    byte-exact untouched docs should anti-join on n_lines_removed > 0
+    instead).
+
+    Shape at 10^12 docs: span hashes are array expressions riding the
+    scan (one narrow explode, ~one row per line); duplicate detection
+    is ONE shuffle on the span hash (row_number window); removal
+    indices reduce per doc (one keyed shuffle) and join back on the doc
+    key — everything linear and keyed, nothing pairwise, nothing
+    collected."""
+    from ..functions.text import lines_col
+
+    if n < 1:
+        raise ValueError(f"span length must be >= 1, got {n}")
+    lines = lines_col(F.col(text_col), line_delim)
+    base = docs.select(id_col, lines.alias("_lines"))
+    # span j (1-based start) = md5 of lines[j..j+n-1]; empty when the
+    # doc has fewer than n lines. chr(1) joiner cannot occur in trimmed
+    # line text, so span identity == exact line-sequence identity.
+    spans = base.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN size(_lines) >= {n} THEN "
+            f"transform(sequence(1, size(_lines) - {n - 1}), "
+            f"j -> md5(array_join(slice(_lines, j, {n}), chr(1)))) "
+            f"ELSE array() END"
+        ).alias("_spans"),
+    ).select(id_col, F.posexplode("_spans").alias("_p0", "_h"))
+    w = W.partitionBy("_h").orderBy(id_col, "_p0")
+    dup_occ = (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(id_col,
+                F.explode(F.expr(f"sequence(_p0 + 1, _p0 + {n})"))
+                .alias("_idx"))
+    )
+    removals = dup_occ.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("_idx")).alias("_rm"))
+    # indices guarded: sequence(1, 0) would generate a DESCENDING
+    # [1, 0] in Spark, so empty docs need an explicit empty array
+    idx = F.when(F.size("_lines") == 0,
+                 F.expr("array()").cast("array<int>")
+                 ).otherwise(F.sequence(F.lit(1), F.size("_lines")))
+    kept = F.filter(idx, lambda i: ~F.array_contains(F.col("_rm"), i))
+    rebuilt = (
+        base.join(removals, id_col, "left")
+        .withColumn("_rm", F.coalesce(F.col("_rm"),
+                                      F.expr("array()").cast("array<int>")))
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(kept,
+                            lambda i: F.element_at(F.col("_lines"), i)),
+                line_delim).alias("text_clean"),
+            F.size("_rm").alias("n_lines_removed"),
+        )
+    )
+    return rebuilt
