@@ -49,7 +49,7 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
            jaccard: float = 0.5, out: str | None = None,
            repetition_gate: bool = True, holdout=None,
            pii_scrub: bool = True, c4_line_delim: str | None = None,
-           doc_gates: bool = False):
+           doc_gates: bool = False, span_dedup_n: int | None = None):
     """(curated DataFrame, funnel stats dict). Deterministic keeper
     rule at every stage: min doc_id survives.
 
@@ -113,6 +113,28 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
             n_pii = c if n_pii is None else n_pii + c
         stats["pii_docs_scrubbed"] = docs.where(n_pii > 0).count()
         docs = docs.withColumn("text", scrub_col(F.col("text")))
+
+    if span_dedup_n is not None:
+        # cross-document exact span dedup (opt-in; rewrite, not a
+        # filter): duplicated n-line spans are removed from every
+        # occurrence but the first and the doc text rebuilt — AFTER the
+        # PII scrub (spans must hash the redacted text) and BEFORE the
+        # gates (quality scores the deduplicated text)
+        from watermark_detector_spark.operators.dedup import exact_span_dedup
+
+        rebuilt = exact_span_dedup(docs, n=span_dedup_n,
+                                   line_delim=c4_line_delim or "\n")
+        prev = staged
+        joined = (docs.drop("text")
+                  .join(rebuilt.select(
+                      "doc_id", F.col("text_clean").alias("text"),
+                      "n_lines_removed"), "doc_id")).persist()
+        stats["span_dedup_docs_rewritten"] = joined.where(
+            F.col("n_lines_removed") > 0).count()
+        docs = joined.drop("n_lines_removed")
+        staged = joined
+        if prev is not None:
+            prev.unpersist()
 
     scored = docs.select(
         "*",
@@ -222,6 +244,10 @@ def main() -> None:  # pragma: no cover - CLI wrapper
     ap.add_argument("--doc-gates", action="store_true",
                     help="apply the document-level Gopher gates (alpha "
                          "fraction, stop-word minimum, bullet/ellipsis)")
+    ap.add_argument("--span-dedup-n", type=int, default=None,
+                    help="cross-document exact span dedup: remove "
+                         "duplicated runs of N lines (first occurrence "
+                         "kept, docs rebuilt)")
     args = ap.parse_args()
 
     from watermark_detector_spark.session import get_spark
@@ -237,6 +263,7 @@ def main() -> None:  # pragma: no cover - CLI wrapper
         pii_scrub=not args.no_pii_scrub,
         c4_line_delim=args.c4_line_delim,
         doc_gates=args.doc_gates,
+        span_dedup_n=args.span_dedup_n,
     )
     print(json.dumps({"out": args.out, **stats}))
     spark.stop()

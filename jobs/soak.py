@@ -131,7 +131,7 @@ def main() -> None:
     ap.add_argument("--span-min", type=int, default=600,
                     help="event-time span of the corpus in minutes")
     ap.add_argument("--phases",
-                    default="flagship,track_best,session_stats,sequence_cep")
+                    default="flagship,track_best,session_stats,sequence_cep,kleene_cep")
     args = ap.parse_args()
 
     from watermark_detector_spark.fixtures import FixtureConfig
@@ -142,6 +142,7 @@ def main() -> None:
     from watermark_detector_spark.session import get_spark
     from watermark_detector_spark.sources.pages import read_pages_stream
     from watermark_detector_spark.streaming.state import (
+        kleene_match_stream,
         sequence_match_stream,
         session_stats,
         track_best,
@@ -186,6 +187,14 @@ def main() -> None:
         "sequence_cep": (lambda: sequence_match_stream(
             seq_events(), ["text", "text", "watermark"], max_gap_s=600,
             watermark="10 minutes"), "append"),
+        # Kleene B+ runs over the same event stream: 'text' runs are
+        # LONG (most detections are text), the exact shape that would
+        # blow up a buffer-retaining matcher — state must stay flat
+        # because the automaton keeps eleven scalars per key, never
+        # the run
+        "kleene_cep": (lambda: kleene_match_stream(
+            seq_events(), "watermark", "text", "watermark",
+            max_gap_s=600, watermark="10 minutes"), "append"),
     }
     out = {}
     for name in args.phases.split(","):
