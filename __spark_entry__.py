@@ -26,6 +26,7 @@ import shutil
 import tempfile
 import uuid
 from collections.abc import Callable
+from datetime import timezone as _timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1346,8 +1347,17 @@ def _q85_warcish_stream(spark, sf: str) -> DataFrame:
         (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
          + F.make_interval(secs=F.max("doc_id").cast("double") - 61)
          ).alias("m")).collect()[0]["m"]
+    # progress-reported watermarks are UTC strings; the collected
+    # naive datetime is rendered in the SESSION timezone — convert, or
+    # any non-UTC session makes the gate compare apples to oranges
+    # (east of UTC: permanent TimeoutError; west: gate passes early)
+    from zoneinfo import ZoneInfo as _Zone
+
+    _sess_tz = spark.conf.get("spark.sql.session.timeZone")
+    _wm_past = (max_ts.replace(tzinfo=_Zone(_sess_tz))
+                .astimezone(_timezone.utc).replace(tzinfo=None))
     _run_to_memory_flush(agg, name, "append",
-                         watermark_past=max_ts.isoformat())
+                         watermark_past=_wm_past.isoformat())
     return spark.table(name)
 
 

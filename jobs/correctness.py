@@ -132,12 +132,19 @@ def run(sf_dir: str, out_path: str, cpus: int,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default=os.path.join(REPO, "CORRECTNESS_FULL.json"))
+    ap.add_argument("--out", default=None,
+                    help="defaults to CORRECTNESS_FULL.json for a full "
+                         "sweep, CORRECTNESS_SUBSET.json with --only "
+                         "(a subset must never clobber the full artifact)")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--only", default=None,
                     help="comma-separated query names (subset sweep)")
     args = ap.parse_args()
     t0 = time.time()
+    if args.out is None:
+        args.out = os.path.join(
+            REPO, "CORRECTNESS_SUBSET.json" if args.only
+            else "CORRECTNESS_FULL.json")
     summary = run(args.sf_dir, args.out, args.cpus,
                   only=args.only.split(",") if args.only else None)
     summary["elapsed_sec"] = round(time.time() - t0, 1)

@@ -27,11 +27,14 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from watermark_detector_spark.sources.warcish import WarcishDataSource
+    from watermark_detector_spark.sources import warcish
 
     spark = SparkSession.builder.appName("warcish-roundtrip").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.dataSource.register(WarcishDataSource)
+    # register() also enables the python filterPushdown conf — a direct
+    # dataSource.register() on this vanilla session would hard-fail the
+    # read with DATA_SOURCE_PUSHDOWN_DISABLED (the round-5 q84 red row)
+    warcish.register(spark)
 
     df = (
         spark.range(args.n)

@@ -1364,3 +1364,44 @@ def test_exact_span_dedup_semantics(spark):
     import pytest
     with pytest.raises(ValueError):
         exact_span_dedup(df, n=0)
+
+
+def test_warcish_crashed_overwrite_recovered_on_next_write(
+        spark, tmp_path_factory):
+    """A DRIVER crash between overwrite staging and commit/abort leaves
+    only '.<name>.old-<tag>' aside files; the next write's recovery
+    sweep must restore them (original absent) or GC them (original
+    present), so data reappears and the disk leak is bounded."""
+    import os as _os
+    from datetime import datetime
+
+    from watermark_detector_spark.sources import warcish
+
+    warcish.register(spark)
+    root = str(tmp_path_factory.mktemp("warcish_crash"))
+    ok = spark.createDataFrame(
+        [("https://a.com/1", datetime(2025, 1, 1), "en", bytearray(b"x"))],
+        "url string, warc_ts timestamp, lang string, html binary")
+    ok.write.format("warcish").mode("overwrite").save(root)
+    parts = [f for f in _os.listdir(root) if f.endswith(".warcish")]
+    assert parts
+    # simulate the crash window: parts staged aside, nothing published
+    for f in parts:
+        _os.rename(_os.path.join(root, f),
+                   _os.path.join(root, f".{f}.old-deadbeef"))
+    assert not [f for f in _os.listdir(root) if f.endswith(".warcish")]
+    # stale aside whose original DOES exist must be GC'd, not restored
+    # (an empty .warcish container is valid: zero records)
+    keep = _os.path.join(root, "zzz.warcish")
+    stale = _os.path.join(root, ".zzz.warcish.old-cafe")
+    open(keep, "wb").close()
+    with open(stale, "wb") as fh:
+        fh.write(b"stale")
+    more = spark.createDataFrame(
+        [("https://b.com/2", datetime(2025, 1, 2), "de", bytearray(b"y"))],
+        "url string, warc_ts timestamp, lang string, html binary")
+    more.write.format("warcish").mode("append").save(root)
+    urls = {r["url"] for r in
+            spark.read.format("warcish").load(root).collect()}
+    assert urls == {"https://a.com/1", "https://b.com/2"}
+    assert not [f for f in _os.listdir(root) if ".old-" in f]

@@ -458,9 +458,15 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 8,
     Returns (id, cell, max_prev_sim, keep): max_prev_sim is the max
     HALF_UP-4-rounded cosine to any lower-id same-cell vector (NULL for
     the cell's first vector), keep = max_prev_sim is NULL or below the
-    threshold. The keep rule compares the ROUNDED similarity so replays
-    on other engines (the DuckDB oracle) cannot flip on a last-ulp
-    difference.
+    threshold. The keep rule compares the ROUNDED similarity, which
+    makes replays on other engines robust to ~ulp-scale float noise —
+    NOT flip-proof: Spark dots pre-normalized rows (numpy pairwise
+    summation) while a SQL replay typically computes dot/(|a||b|)
+    sequentially, so two slightly different doubles are rounded, and a
+    similarity within that accumulation error of the 0.00005 rounding
+    boundary (or a vector near-equidistant between two centroids at
+    assignment) can still diverge. The fixtures sit far from those
+    boundaries; treat a red replay on new data as a near-tie first.
 
     Scale shape (the SemDeDup posture): the expensive O(N²) similarity
     never happens — pairs exist only WITHIN a cell, so compute is

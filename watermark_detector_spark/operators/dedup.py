@@ -40,25 +40,33 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _shingles_expr(toks, n: int):
+    """Word n-gram shingle array over a token-array column — THE shared
+    shingle construction. Every producer of shingle keys (batch
+    minhash_signatures via shingles(), winnowing via
+    ordered_shingles(), the streaming near-dup gate via
+    minhash_bands_col) must build byte-identical shingles or their
+    LSH/fingerprint buckets silently desynchronize across paths; keep
+    this single definition the only copy. Caller must guard
+    size(toks) >= n (Spark's sequence() DESCENDS when stop < start)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle)."""
     toks = tokens_col(F.col(text_col))
-    gram_parts = [F.element_at(F.col("_toks"), F.col("_i") + i) for i in range(n)]
     return (
         df.select(F.col(id_col), toks.alias("_toks"))
         .where(F.size("_toks") >= n)
         .select(
             id_col,
             F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-                        lambda i: F.concat_ws(
-                            " ", *[F.element_at(F.col("_toks"), i + k) for k in range(n)]
-                        ),
-                    )
-                )
+                F.array_distinct(_shingles_expr(F.col("_toks"), n))
             ).alias("shingle"),
         )
     )
@@ -112,13 +120,7 @@ def minhash_bands_col(text, n_bands: int = 4, n: int = 3):
     built inside one nested higher-order expression, so whole-stage
     codegen keeps it per-row scratch, never materialized."""
     toks = tokens_col(text)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(n)]),
-        )
-    )
+    sh = F.array_distinct(_shingles_expr(toks, n))
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.array_min(
@@ -219,12 +221,7 @@ def ordered_shingles(df: DataFrame, id_col: str = "doc_id",
         .select(
             id_col,
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(F.col("_toks"), i + k) for k in range(n)]
-                    ),
-                )
+                _shingles_expr(F.col("_toks"), n)
             ).alias("pos", "shingle"),
         )
     )

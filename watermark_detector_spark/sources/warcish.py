@@ -204,6 +204,13 @@ class WarcishStreamReader(DataSourceStreamReader):
             # we do not know the committed watermark, so this one
             # offset carries no file list — partitions() falls back to
             # a live range listing for it (and records the watermark).
+            # Known cost: this bare form serializes differently from
+            # the committed {"last", "files"} offset, so even with no
+            # new files Spark plans ONE empty micro-batch after restart
+            # (partitions() computes an empty range); data-exactness is
+            # unaffected, but consumers inferring "watermark flush"
+            # from numInputRows==0 alone must also check the reported
+            # watermark (as _run_to_memory_flush's gate does).
             return {"last": last}
         if last == self._prev_last and self._prev_offset is not None:
             # no new files: re-return the previous offset VERBATIM —
@@ -372,9 +379,30 @@ class WarcishDataSource(DataSource):
         # old part numbers and silently duplicate rows on read. The old
         # parts are STAGED aside (rename, same directory — atomic),
         # not deleted: commit() deletes them, abort() restores them, so
-        # a failed overwrite never leaves the target empty.
+        # a failed overwrite never leaves the target empty. A DRIVER
+        # crash between staging and commit/abort does leave the target
+        # empty until the next write's recovery sweep (below) restores
+        # the aside files — readers in that window see no data, never
+        # wrong data.
         path = self.options.get("path")
         staged: list[tuple[str, str]] = []
+        if path and os.path.isdir(path):
+            # crash-recovery sweep: ".<name>.old-<tag>" leftovers mean
+            # a previous overwrite died between plan-time staging and
+            # commit()/abort(). Heal before doing anything else — if
+            # the original name is absent, RESTORE the aside (the
+            # crashed overwrite never published, so the old data is the
+            # current data); if present, a later write superseded it:
+            # the aside is stale and is deleted (bounds the disk leak).
+            for f in os.listdir(path):
+                if f.startswith(".") and ".old-" in f:
+                    orig_name = f[1:f.rindex(".old-")]
+                    orig = os.path.join(path, orig_name)
+                    aside = os.path.join(path, f)
+                    if os.path.exists(orig):
+                        os.remove(aside)
+                    else:
+                        os.rename(aside, orig)
         if overwrite and path and os.path.isdir(path):
             tag = uuid.uuid4().hex[:8]
             for f in os.listdir(path):

@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -300,15 +301,27 @@ class ExactlyOnceParquetSink:
                     m = json.loads(fs.read_text(
                         os.path.join(self.manifest_dir, f)))
                     out[int(stem)] = m["committed_at_epoch"]
-                except Exception:
-                    pass
+                except Exception as e:
+                    # a truncated/unreadable per-batch manifest would
+                    # otherwise SILENTLY shift as_of_timestamp reads to
+                    # an older batch — surface the skip
+                    warnings.warn(
+                        f"skipping unreadable manifest {f} while "
+                        f"building the commit-time ledger: {e!r} — "
+                        f"as_of_timestamp resolution may be stale for "
+                        f"timestamps at or after this batch's commit",
+                        stacklevel=2)
             elif stem.startswith("compact_"):
                 range_files.append(f)
         for f in range_files:
             try:
                 m = json.loads(fs.read_text(
                     os.path.join(self.manifest_dir, f)))
-            except Exception:
+            except Exception as e:
+                warnings.warn(
+                    f"skipping unreadable range manifest {f} while "
+                    f"building the commit-time ledger: {e!r}",
+                    stacklevel=2)
                 continue
             bc = m.get("batch_commits") or {}
             for b, t in bc.items():

@@ -798,22 +798,41 @@ def near_dup_gate_stream(docs: DataFrame, n_bands: int = 4, n: int = 3,
     make the chain live, and they are the semantics streaming dedup
     ships with everywhere.) Verified end-to-end against the batch
     replay in tests and the q92 oracle."""
+    import warnings
+
     from watermark_detector_spark.operators.dedup import minhash_bands_col
 
+    # the chained stateful agg below requires disabling Spark's
+    # stateful-operator correctness check, and that conf is SESSION-
+    # wide (there is no per-query form) — warn so callers know other
+    # streaming queries on this session lose the analysis-time check;
+    # it is safe to re-enable the conf after .start()ing this query
+    # (the check runs at query analysis, not per batch).
+    warnings.warn(
+        "near_dup_gate_stream disables spark.sql.streaming."
+        "statefulOperator.checkCorrectness.enabled for the SESSION "
+        "(safety argument in this function's docstring); re-enable it "
+        "after starting the query if other streams need the check",
+        stacklevel=2)
     docs.sparkSession.conf.set(
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
         "false")
+    # watermark declared BEFORE the shingle-count filter: event time
+    # must be tracked over ALL documents, or a corpus whose newest doc
+    # is shorter than n tokens would finalize at a lower watermark than
+    # the batch replay (the q92 oracle cuts at max(ts) over all docs)
     bands = (
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"),
             minhash_bands_col(F.col(text_col), n_bands=n_bands, n=n)
             .alias("_mh"))
+        .withWatermark("ts", watermark)
         .where(F.size("_mh") > 0)
         .select("doc_id", "ts",
                 F.posexplode("_mh").alias("band", "minhash"))
     )
     verdicts = (
-        bands.withWatermark("ts", watermark)
+        bands
         .groupBy("band", "minhash")
         .applyInPandasWithState(
             _neardup_fn_factory(state_ttl_s),
