@@ -1898,6 +1898,110 @@ def _q50_stream_session_window(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q97_range_join(spark, sf: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN without a key: every signup by user
+    7 opens a global 4-hour incident window; count all errors (any
+    user) falling in each window. Spark plans a bare range predicate as
+    BroadcastNestedLoopJoin — operators/joins.range_join decomposes it
+    into time buckets (interval exploded over covered buckets, point
+    hashed to its own bucket, equi-join + exact residual), a shape that
+    stays a hash join at 100 TB (plan-asserted: no nested-loop). The
+    oracle replays the plain inequality join in DuckDB."""
+    from watermark_detector_spark.operators.joins import range_join
+
+    e = _t(spark, sf, "events")
+    iv = (
+        e.where((F.col("event_type") == "signup") & (F.col("user_id") == 7))
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("e"),
+        )
+    )
+    errors = e.where(F.col("event_type") == "error")
+    joined = range_join(errors, iv, "ts", "s", "e", bucket_s=3600)
+    return (
+        joined.groupBy(F.col("iv_iv_id").alias("iv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _q98_decontaminate_bloom(spark, sf: str) -> DataFrame:
+    """q71's decontamination with the Bloom runtime-filter shape: the
+    holdout fingerprint set is compressed to a broadcast bitset and the
+    corpus fingerprints are gated SCAN-SIDE, so only bloom positives
+    reach the exact confirming broadcast join — the corpus side never
+    shuffles its fingerprints. No false negatives, so the result is
+    IDENTICAL to q71 (same oracle SQL, replayed verbatim)."""
+    from watermark_detector_spark.operators.dedup import contaminated_ids_bloom
+
+    d = _t(spark, sf, "documents")
+    return contaminated_ids_bloom(
+        d.where(F.col("doc_id") % 7 != 3),
+        d.where(F.col("doc_id") % 7 == 3),
+    )
+
+
+def _q99_lm_quality(spark, sf: str) -> DataFrame:
+    """CCNet-style LM quality gate (Wenzek et al. 2020), unigram
+    edition: fit an add-one-smoothed unigram LM on the reference split
+    (doc_id % 7 == 0, vocab = top-512 tokens, ties broken count DESC /
+    token ASC for engine portability) and score EVERY document by mean
+    negative log likelihood. Vocab + totals are broadcast; the score is
+    pure codegen'd expression work — no UDF, no corpus-side shuffle
+    except the final per-doc agg."""
+    from watermark_detector_spark.functions.text import lm_quality
+
+    d = _t(spark, sf, "documents")
+    return lm_quality(d, d.where(F.col("doc_id") % 7 == 0), vocab_size=512)
+
+
+def _q101_stream_topk(spark, sf: str) -> DataFrame:
+    """Streaming top-k: the standard two-stage composition Spark
+    requires (rank is not incrementally maintainable in append mode) —
+    stage 1 is a watermarked tumbling-window count stream, stage 2
+    ranks the EMITTED windows (top-2 event types per 30-min window,
+    ties broken by type ASC). The oracle replays the q24 emission rule
+    (window end <= final watermark) + the same row_number cut."""
+    from pyspark.sql.window import Window as W
+
+    src, _ = _events_stream(spark, sf)
+    name = "wmd_q101_" + uuid.uuid4().hex[:8]
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type", "n_events",
+        )
+    )
+    _run_to_memory(agg, name, "append")
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type"))
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+    )
+
+
+def _q100_pack_sequences(spark, sf: str) -> DataFrame:
+    """Sequence packing (GPT/T5-style training-batch assembly): greedy
+    first-fit-in-order packing of docs into 256-token sequences, 8
+    deterministic doc_id shards. Inherently sequential per shard but
+    shards are independent (parallelism = n_shards at scale); the
+    assignment depends only on (doc_id, token_count) so the oracle
+    replays it as a linear WITH RECURSIVE scan per shard."""
+    from watermark_detector_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, capacity=256, n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order = CERTIFICATION-priority order. The harness caps
     CORRECTNESS_r{N}.json at 50 entries (observed rounds 2 and 3, both
@@ -1913,6 +2017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
         "q84_warcish_source": _q84_warcish_source,
+        "q97_range_join": _q97_range_join,
+        "q98_decontaminate_bloom": _q98_decontaminate_bloom,
+        "q99_lm_quality": _q99_lm_quality,
+        "q100_pack_sequences": _q100_pack_sequences,
+        "q101_stream_topk": _q101_stream_topk,
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
@@ -2163,6 +2272,109 @@ def _simhash_sql(n_bits: int = 16) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q97_range_join": """
+            WITH iv AS (
+              SELECT event_id AS iv_id, ts AS s,
+                     ts + INTERVAL 4 HOUR AS e
+              FROM events
+              WHERE event_type = 'signup' AND user_id = 7),
+            p AS (SELECT * FROM events WHERE event_type = 'error')
+            SELECT iv_id, CAST(count(*) AS BIGINT) AS n_errors,
+                   round(sum(p.value), 4) AS sum_value
+            FROM p JOIN iv ON p.ts >= iv.s AND p.ts < iv.e
+            GROUP BY iv_id
+        """,
+        # q98 = q71's exact result reached through the Bloom pre-gate
+        # (no false negatives + exact confirm join) — oracle replayed
+        # verbatim from q71.
+        "q98_decontaminate_bloom": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(range(1, len(t) - 1)) AS pos1,
+                     len(t) - 2 AS n_sh, t
+              FROM toks WHERE len(t) >= 3),
+            h AS (
+              SELECT doc_id, pos1, n_sh,
+                     md5(t[pos1] || ' ' || t[pos1 + 1] || ' ' || t[pos1 + 2]) AS h
+              FROM sh),
+            wmin AS (
+              SELECT doc_id, pos1, n_sh,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos1
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM h),
+            fps AS (SELECT DISTINCT doc_id, fp
+                    FROM wmin WHERE pos1 <= greatest(1, n_sh - 3)),
+            hold AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 7 = 3)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps
+            FROM fps
+            WHERE doc_id % 7 != 3 AND fp IN (SELECT fp FROM hold)
+            GROUP BY doc_id
+        """,
+        "q99_lm_quality": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents),
+            vocab AS (
+              SELECT tok, count(*) AS cnt
+              FROM toks WHERE doc_id % 7 = 0
+              GROUP BY tok
+              ORDER BY cnt DESC, tok ASC
+              LIMIT 512),
+            tot AS (SELECT sum(cnt) AS t, count(*) AS v FROM vocab)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(-ln((coalesce(cnt, 0) + 1) / (t + v + 1.0))),
+                         4) AS avg_nll
+            FROM toks LEFT JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "q101_stream_topk": f"""
+            WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+            agg AS (
+              SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+            em AS (SELECT agg.* FROM agg, wm
+                   WHERE ws + INTERVAL 30 MINUTE <= wm.w),
+            rk AS (
+              SELECT ws, event_type, n_events,
+                     row_number() OVER (PARTITION BY ws
+                                        ORDER BY n_events DESC,
+                                                 event_type ASC) AS rk
+              FROM em)
+            SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+                   event_type, n_events, CAST(rk AS INTEGER) AS rk
+            FROM rk WHERE rk <= 2
+        """,
+        "q100_pack_sequences": r"""
+            WITH RECURSIVE ord AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+                     row_number() OVER (PARTITION BY doc_id % 8
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            rec AS (
+              SELECT shard, rn, doc_id, nt,
+                     CAST(0 AS BIGINT) AS pack_id,
+                     CAST(0 AS BIGINT) AS pack_pos,
+                     nt AS fill
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.shard, o.rn, o.doc_id, o.nt,
+                     CASE WHEN r.fill + o.nt <= 256
+                          THEN r.pack_id ELSE r.pack_id + 1 END,
+                     CASE WHEN r.fill + o.nt <= 256
+                          THEN r.pack_pos + 1 ELSE CAST(0 AS BIGINT) END,
+                     CASE WHEN r.fill + o.nt <= 256
+                          THEN r.fill + o.nt ELSE o.nt END
+              FROM ord o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1)
+            SELECT doc_id, shard, pack_id, pack_pos,
+                   nt AS n_tokens, fill AS pack_fill,
+                   nt > 256 AS oversize
+            FROM rec
+        """,
         "q01_filter_project": """
             SELECT l_orderkey, l_partkey,
                    round(l_extendedprice * (1 - l_discount), 4) AS net_price,

@@ -8,7 +8,7 @@ streaming sink commits a few files per trigger.
 Usage:
   spark-submit --py-files dist/watermark_detector_spark.zip \
     jobs/compact.py --sink <root> [--output-partitions 8] [--no-vacuum] \
-        [--sort-by col1,col2]
+        [--sort-by col1,col2 | --zorder-by col1,col2]
 """
 
 from __future__ import annotations
@@ -32,6 +32,11 @@ def main() -> None:
                     help="comma-separated cluster keys: range-partition + "
                          "sort-within-file rewrite so parquet min/max "
                          "stats prune whole files on key predicates")
+    ap.add_argument("--zorder-by", default=None,
+                    help="comma-separated Z-order columns: Morton-curve "
+                         "clustered rewrite (Delta OPTIMIZE ZORDER BY "
+                         "analog) keeping per-file min/max tight on "
+                         "every listed column at once")
     args = ap.parse_args()
 
     from watermark_detector_spark.session import get_spark
@@ -43,7 +48,10 @@ def main() -> None:
                            vacuum=not args.no_vacuum,
                            sort_cols=([c.strip() for c in args.sort_by.split(",")
                                        if c.strip()]
-                                      if args.sort_by else None))
+                                      if args.sort_by else None),
+                           zorder_cols=([c.strip() for c in
+                                         args.zorder_by.split(",") if c.strip()]
+                                        if args.zorder_by else None))
     print(json.dumps({
         "sink": args.sink,
         "compacted_ranges": entries,

@@ -1405,3 +1405,134 @@ def test_warcish_crashed_overwrite_recovered_on_next_write(
             spark.read.format("warcish").load(root).collect()}
     assert urls == {"https://a.com/1", "https://b.com/2"}
     assert not [f for f in _os.listdir(root) if ".old-" in f]
+
+
+def test_range_join_matches_inequality_semantics(spark):
+    """Bucketized range join == brute-force inequality join on a corpus
+    engineered around the failure modes: points exactly at start
+    (included) and end (excluded), intervals ending exactly on a bucket
+    boundary, microsecond-fractional timestamps, overlapping intervals
+    (point matches both), and end <= start rows (dropped)."""
+    from datetime import datetime
+
+    from watermark_detector_spark.operators.joins import range_join
+
+    B = 60  # 1-minute buckets
+    pts = spark.createDataFrame(
+        [(1, datetime(2025, 1, 1, 0, 0, 0)),           # == iv1 start
+         (2, datetime(2025, 1, 1, 0, 2, 0)),           # == iv1 end -> out
+         (3, datetime(2025, 1, 1, 0, 1, 59, 999999)),  # 1us before end
+         (4, datetime(2025, 1, 1, 0, 3, 30)),          # iv2+iv3 overlap
+         (5, datetime(2025, 1, 1, 9, 0, 0))],          # matches nothing
+        "pid long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(10, datetime(2025, 1, 1, 0, 0, 0),
+          datetime(2025, 1, 1, 0, 2, 0)),      # ends ON a bucket edge
+         (20, datetime(2025, 1, 1, 0, 3, 0),
+          datetime(2025, 1, 1, 0, 4, 0)),
+         (30, datetime(2025, 1, 1, 0, 3, 0, 500000),
+          datetime(2025, 1, 1, 0, 3, 45)),     # fractional start
+         (40, datetime(2025, 1, 1, 5, 0, 0),
+          datetime(2025, 1, 1, 5, 0, 0))],     # empty -> dropped
+        "ivid long, s timestamp, e timestamp")
+    got = {(r.pid, r.iv_ivid) for r in
+           range_join(pts, iv, "ts", "s", "e", bucket_s=B).collect()}
+    want = {(r.pid, r.ivid) for r in
+            pts.crossJoin(iv)
+            .where((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+            .collect()}
+    assert got == want
+    assert (1, 10) in got and (3, 10) in got and (2, 10) not in got
+    assert (4, 20) in got and (4, 30) in got
+    with pytest.raises(ValueError):
+        range_join(pts, iv, "ts", "s", "e", bucket_s=0)
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    """The whole point of the bucket decomposition: the physical plan
+    must be a hash/sort-merge equi-join, never the
+    BroadcastNestedLoopJoin/CartesianProduct Spark plans for a bare
+    range predicate."""
+    import __spark_entry__ as E
+
+    plan = E.queries()["q97_range_join"](spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contaminated_ids_bloom_equals_exact(spark):
+    """Bloom pre-gate has no false negatives and the confirm join kills
+    false positives, so the result must be IDENTICAL to the exact
+    semi-join operator on the same split."""
+    from watermark_detector_spark.operators.dedup import (
+        contaminated_ids, contaminated_ids_bloom)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(i, f"doc {i} " + base[: 40 + (i * 7) % 60]) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = docs.where(F.col("doc_id") % 4 != 0)
+    hold = docs.where(F.col("doc_id") % 4 == 0)
+    exact = {(r.doc_id, r.n_shared_fps)
+             for r in contaminated_ids(train, hold).collect()}
+    bloom = {(r.doc_id, r.n_shared_fps)
+             for r in contaminated_ids_bloom(train, hold).collect()}
+    assert bloom == exact and exact  # non-trivial overlap by construction
+    with pytest.raises(ValueError, match="max_holdout_fps"):
+        contaminated_ids_bloom(train, hold, max_holdout_fps=1)
+
+
+def test_lm_quality_hand_computed(spark):
+    """Unigram LM score against hand-computed add-one-smoothed values,
+    including the OOV floor and the deterministic (count DESC, token
+    ASC) vocabulary tie-break."""
+    import math
+
+    from watermark_detector_spark.functions.text import lm_quality
+
+    ref = spark.createDataFrame(
+        [(0, "a a a b b c")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "zzz")], "doc_id long, text string")
+    # vocab_size=2 keeps {a:3, b:2}; ties would cut by token ASC
+    out = {r.doc_id: r for r in
+           lm_quality(docs, ref, vocab_size=2).collect()}
+    t, v = 5, 2  # in-vocab total, vocab rows
+    p_a, p_b, p_oov = (3 + 1) / (t + v + 1), (2 + 1) / (t + v + 1), 1 / (t + v + 1)
+    want1 = round(-(math.log(p_a) + math.log(p_b)) / 2, 4)
+    want2 = round(-math.log(p_oov), 4)
+    assert out[1].n_tokens == 2 and abs(out[1].avg_nll - want1) < 1e-9
+    assert out[2].n_tokens == 1 and abs(out[2].avg_nll - want2) < 1e-9
+    # tie-break: c and d both count 1 -> vocab_size=3 must keep 'c'
+    ref2 = spark.createDataFrame(
+        [(0, "a a d c")], "doc_id long, text string")
+    out2 = {r.doc_id: r.avg_nll for r in
+            lm_quality(spark.createDataFrame([(1, "c"), (2, "d")],
+                                             "doc_id long, text string"),
+                       ref2, vocab_size=2).collect()}
+    # vocab = {a:2, c:1} (c beats d lexicographically); d is OOV
+    assert out2[1] < out2[2]
+
+
+def test_pack_sequences_greedy_and_oversize(spark):
+    """Greedy first-fit-in-order packing: exact expected assignment on
+    a hand-built shard, including an oversize doc (own pack, flagged,
+    never joined by the next doc) and the deterministic doc_id order."""
+    from watermark_detector_spark.operators.packing import pack_sequences
+
+    mk = lambda n: " ".join(["w"] * n)
+    docs = spark.createDataFrame(
+        [(0, mk(6)), (2, mk(3)), (4, mk(12)), (6, mk(2)), (8, mk(5))],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.pack_id, r.pack_pos, r.pack_fill, r.oversize)
+           for r in pack_sequences(docs, capacity=10, n_shards=2).collect()}
+    assert out[0] == (0, 0, 6, False)
+    assert out[2] == (0, 1, 9, False)        # 6+3 <= 10
+    assert out[4] == (1, 0, 12, True)        # oversize: own pack
+    assert out[6] == (2, 0, 2, False)        # never joins the oversize pack
+    assert out[8] == (2, 1, 7, False)
+    assert {r.shard for r in
+            pack_sequences(docs, 10, n_shards=2).collect()} == {0}
+    with pytest.raises(ValueError):
+        pack_sequences(docs, capacity=0)

@@ -1309,3 +1309,78 @@ def test_kleene_match_stream_equals_batch(spark, tmp_path_factory):
         (r["user_id"], r["t_first"], r["t_last"], r["n_mid"], r["first_id"])
         for r in spark.table("kleene_eq_test").collect())
     assert got == want and len(got) >= 4
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Morton key ground truth at bits=2, two uniform 0..3 columns:
+    bucket == value, z = interleave(x@even, y@odd) LSB-first."""
+    from watermark_detector_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long")
+    key = zorder_key(df, ["x", "y"], bits=2)
+    got = {(r.x, r.y): r._zkey
+           for r in df.select("x", "y", key).collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(2):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y)
+                   for x in range(4) for y in range(4)}
+    with pytest.raises(ValueError):
+        zorder_key(df, ["x"] * 8, bits=8)  # > 63 key bits
+    with pytest.raises(ValueError):
+        zorder_key(df, [])
+
+
+def test_compact_zorder_tightens_both_dims(spark, tmp_path_factory):
+    """compact(zorder_cols=[x, y]): per-file spans must be tight on
+    BOTH dimensions, where a plain x-sort leaves y-spans at ~full
+    range — the property that makes multi-dim filter pruning work."""
+    import pyarrow.parquet as pq
+
+    def spans(data_dir, col, full):
+        out = []
+        for f in sorted(os.listdir(data_dir)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(data_dir, f), columns=[col])
+                vs = t.column(col).to_pylist()
+                if vs:
+                    out.append((max(vs) - min(vs)) / full)
+        return out
+
+    # a 64x64 grid: x and y genuinely independent (every y occurs for
+    # every x, so an x-sort cannot cluster y); batches interleave rows
+    rows = [(i, i % 64, i // 64) for i in range(4096)]
+    full = 63.0
+
+    z_root = str(tmp_path_factory.mktemp("sink_z") / "sink")
+    zsink = ExactlyOnceParquetSink(z_root, output_partitions=16,
+                                   vacuum_retention_s=0)
+    s_root = str(tmp_path_factory.mktemp("sink_s") / "sink")
+    ssink = ExactlyOnceParquetSink(s_root, output_partitions=16,
+                                   vacuum_retention_s=0)
+    for b in range(2):
+        part = spark.createDataFrame(
+            [r for r in rows if r[0] % 2 == b], "i long, x long, y long")
+        zsink.write_batch(part, b)
+        ssink.write_batch(part, b)
+
+    zsink.compact(spark, zorder_cols=["x", "y"])
+    ssink.compact(spark, sort_cols=["x"])
+    zdir = os.path.join(z_root, "data", "compact_0-1")
+    sdir = os.path.join(s_root, "data", "compact_0-1")
+
+    zx, zy = spans(zdir, "x", full), spans(zdir, "y", full)
+    sy = spans(sdir, "y", full)
+    mean = lambda v: sum(v) / len(v)
+    assert mean(sy) > 0.8          # x-sort leaves y unclustered
+    assert mean(zx) < 0.5 and mean(zy) < 0.5   # zorder tight on BOTH
+    # content and exactly-once unaffected by the layout rewrite
+    assert zsink.read(spark).count() == 4096
+    with pytest.raises(ValueError):
+        zsink.compact(spark, sort_cols=["x"], zorder_cols=["y"])

@@ -373,6 +373,59 @@ def c4_clean(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def lm_unigram_vocab(ref: DataFrame, vocab_size: int = 4096,
+                     text_col: str = "text") -> DataFrame:
+    """Top-``vocab_size`` unigram frequency table over a reference
+    corpus — the model half of the CCNet-style LM quality gate (Wenzek
+    et al. 2020 score with a KenLM 5-gram; this engine ships the
+    unigram analog, which needs no external model artifact). The
+    tie-break (count DESC, token ASC) makes the vocabulary cut
+    deterministic and engine-portable. Returns (tok, cnt)."""
+    return (
+        ref.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(vocab_size)
+    )
+
+
+def lm_quality(docs: DataFrame, ref: DataFrame, vocab_size: int = 4096,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document language-model quality score: mean negative log
+    likelihood under an add-one-smoothed unigram LM fit on ``ref``
+    (CCNet's perplexity gate, unigram edition). For vocabulary V with
+    in-vocab total T, p(tok) = (cnt + 1) / (T + |V| + 1); out-of-vocab
+    tokens get the floor 1 / (T + |V| + 1) — gibberish and
+    boilerplate-free spam score high (worse), fluent prose low.
+
+    100 TB shape: the vocab is bounded (``vocab_size`` rows) and
+    BROADCAST, so scoring is explode -> broadcast hash join -> one
+    partial-aggregated shuffle on the doc key; the corpus text itself
+    never shuffles, and there is no UDF in the path — the whole score
+    is codegen'd JVM expression work. Returns
+    (id_col, n_tokens, avg_nll) with avg_nll rounded to 4 decimals."""
+    vocab = F.broadcast(lm_unigram_vocab(ref, vocab_size, text_col))
+    totals = F.broadcast(
+        vocab.agg(F.sum("cnt").alias("_t"),
+                  F.count(F.lit(1)).alias("_v")))
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    denom = F.col("_t") + F.col("_v") + F.lit(1.0)
+    nll = -F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1) / denom)
+    return (
+        toks.join(vocab, "tok", "left")
+        .crossJoin(totals)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )
+
+
 try:  # Python UDTF (pyspark >= 3.5): table-valued chunker
     from pyspark.sql.functions import udtf
 

@@ -17,6 +17,8 @@ which is what makes these oracle-checkable against DuckDB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -395,6 +397,74 @@ def contaminated_ids(train: DataFrame, holdout: DataFrame, n: int = 3,
             .select("fp").distinct())
     return (
         fp_t.join(fp_h, "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+def contaminated_ids_bloom(train: DataFrame, holdout: DataFrame, n: int = 3,
+                           window: int = 4, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_holdout_fps: int = 5_000_000) -> DataFrame:
+    """``contaminated_ids`` with an explicit Bloom-filter pre-gate — the
+    runtime-filter shape for 100 TB decontamination. The exact semi-join
+    in ``contaminated_ids`` shuffles EVERY corpus fingerprint to meet
+    the holdout side; here the holdout fingerprint set (an eval set —
+    small by design, guarded by ``max_holdout_fps``) is compressed to an
+    O(MB) bitset broadcast to executors, and corpus fingerprints are
+    dropped SCAN-SIDE unless the bitset might contain them. Only bloom
+    positives (true hits + ~0.2% false positives) reach the exact
+    confirming broadcast join, so the result is IDENTICAL to
+    ``contaminated_ids`` (Bloom filters have no false negatives) while
+    the corpus side never shuffles its fingerprints at all.
+
+    Determinism: the 4 bit positions per fingerprint are the four
+    32-bit slices of the fingerprint's own md5 hex (winnow fps ARE md5
+    hashes) — no seeds, identical across engines and runs."""
+    fp_t = winnow_fingerprints(train, n, window, id_col, text_col)
+    fps = [
+        r.fp
+        for r in winnow_fingerprints(holdout, n, window, id_col, text_col)
+        .select("fp").distinct().collect()
+    ]
+    if len(fps) > max_holdout_fps:
+        raise ValueError(
+            f"holdout fingerprint set ({len(fps)}) exceeds "
+            f"max_holdout_fps={max_holdout_fps}; decontamination holdouts "
+            "are eval sets — if yours is corpus-sized, use "
+            "contaminated_ids (distributed semi-join) instead")
+
+    # power-of-two bit count, ~16 bits/element, capped at 16 MiB:
+    # k=4, m=16n -> fpp = (1 - e^-0.25)^4 ~= 0.24%
+    n_bits = 1 << max(10, min(27, (16 * max(1, len(fps))).bit_length()))
+    mask = n_bits - 1
+    bits = np.zeros(n_bits >> 3, dtype=np.uint8)
+    for fp in fps:
+        for i in range(4):
+            pos = int(fp[8 * i:8 * i + 8], 16) & mask
+            bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast(bits.tobytes())
+
+    @F.pandas_udf("boolean")
+    def _might_contain(s: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+
+        def hit(fp: str) -> bool:
+            for i in range(4):
+                pos = int(fp[8 * i:8 * i + 8], 16) & mask
+                if not (arr[pos >> 3] >> (pos & 7)) & 1:
+                    return False
+            return True
+
+        return s.map(hit)
+
+    hold_df = F.broadcast(
+        spark.createDataFrame([(f,) for f in fps], "fp string"))
+    return (
+        fp_t.where(_might_contain(F.col("fp")))
+        .join(hold_df, "fp")  # exact confirm: kills bloom false positives
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )

@@ -13,7 +13,7 @@ joins with explicit distribution strategy:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -82,6 +82,82 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str,
         .where(F.col("_tag") == 1)
         .drop("_tag")
         .withColumnRenamed("_asof_ts", "asof_ts")
+    )
+    return out
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,
+               start_ts: str, end_ts: str, bucket_s: int = 900,
+               on: str | None = None) -> DataFrame:
+    """Point-in-interval range join: every (point, interval) pair with
+    ``start_ts <= point_ts < end_ts`` (half-open), optionally also
+    equi-matched on ``on``. Spark plans a bare range predicate as
+    BroadcastNestedLoopJoin / CartesianProduct — quadratic, a
+    non-starter at scale. The scalable shape is time-bucketization
+    (the standard interval-join decomposition, same trick Structured
+    Streaming uses for stream-stream interval state):
+
+      - every interval row is exploded to the bucket indices its
+        [start, end) span covers (``sequence`` on floor-divided epochs
+        — duplication factor = ceil(span / bucket), small when bucket
+        is chosen near the typical span);
+      - every point row gets its single bucket index;
+      - equi-join on (bucket [, on]) — a plain shuffled/broadcast hash
+        join Catalyst can optimize — then the exact residual range
+        predicate.
+
+    A point's bucket is covered by every interval that might contain
+    it, and each qualifying (point, interval) pair meets in EXACTLY one
+    bucket (the point's own), so no post-join dedup is needed.
+    Intervals with end <= start cover no buckets and are dropped (also
+    guards Spark's descending ``sequence(a, b)`` when b < a).
+
+    Interval columns come back prefixed ``iv_`` so both sides can carry
+    a ``ts``-style name without collision."""
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+    b_us = F.lit(int(bucket_s) * 1_000_000)
+
+    # Bucket at MICROsecond granularity (a second-granularity floor
+    # truncates fractional end timestamps and can drop the final
+    # bucket). Parquet event times arrive as TIMESTAMP_NTZ, which
+    # unix_micros rejects; NTZ -> TIMESTAMP (session tz, pinned UTC
+    # engine-wide) first.
+    def _us(c: str) -> Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    def _fdiv(a: Column, b: Column) -> Column:
+        # exact integer floor-div (Column has no //; double division
+        # rounds at bucket edges): a - pmod(a,b) is exactly divisible
+        # and <= 2^53, so the double quotient is exact
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    p_b = _fdiv(_us(point_ts), b_us)
+    iv = (
+        intervals.where(F.col(end_ts) > F.col(start_ts))
+        .select(
+            *[F.col(c).alias(f"iv_{c}") for c in intervals.columns],
+            F.explode(
+                F.sequence(
+                    _fdiv(_us(start_ts), b_us),
+                    # end is EXCLUSIVE: an interval ending exactly on a
+                    # bucket boundary does not cover that bucket
+                    _fdiv(_us(end_ts) - 1, b_us),
+                )
+            ).alias("_bucket"),
+        )
+    )
+    pts = points.withColumn("_bucket", p_b)
+    keys = ["_bucket"] if on is None else ["_bucket", on]
+    if on is not None:
+        iv = iv.withColumnRenamed(f"iv_{on}", on)
+    out = (
+        pts.join(iv, keys)
+        .where(
+            (F.col(point_ts) >= F.col(f"iv_{start_ts}"))
+            & (F.col(point_ts) < F.col(f"iv_{end_ts}"))
+        )
+        .drop("_bucket")
     )
     return out
 

@@ -398,7 +398,8 @@ class ExactlyOnceParquetSink:
     # -- maintenance: small-file compaction (snapshot rewrite) -------------
     def compact(self, spark: SparkSession, output_partitions: int | None = None,
                 vacuum: bool = True,
-                sort_cols: list[str] | None = None) -> list[dict]:
+                sort_cols: list[str] | None = None,
+                zorder_cols: list[str] | None = None) -> list[dict]:
         """Fold every currently-uncovered CONTIGUOUS run of per-batch
         commits (>= 2 batches) into a range manifest over rewritten data
         files — one manifest per run, so gaps in the id sequence (a
@@ -413,6 +414,9 @@ class ExactlyOnceParquetSink:
         a streaming table); readers never block and never double-read —
         the retention window in vacuum() is what keeps in-flight readers
         safe (see there)."""
+        if sort_cols and zorder_cols:
+            raise ValueError(
+                "sort_cols and zorder_cols are mutually exclusive layouts")
         fs = self.fs
         _, singles = self._manifest_state()
         runs: list[list[int]] = []
@@ -441,6 +445,16 @@ class ExactlyOnceParquetSink:
                 df = (df.repartitionByRange(n_out, *sort_cols)
                       .sortWithinPartitions(*sort_cols))
                 df.write.mode("overwrite").parquet(out)
+            elif zorder_cols:
+                # Z-ORDER rewrite (Delta OPTIMIZE ZORDER BY analog):
+                # Morton-curve clustering keeps per-file min/max tight
+                # on EVERY listed column at once, so multi-dimensional
+                # filters prune files on each axis — see operators/
+                # layout.py for the curve construction
+                from watermark_detector_spark.operators.layout import (
+                    zorder_repartition)
+                zorder_repartition(df, zorder_cols, n_out) \
+                    .write.mode("overwrite").parquet(out)
             else:
                 df.coalesce(n_out).write.mode("overwrite").parquet(out)
             files = sorted(f for f in fs.listdir(out) if f.endswith(".parquet"))
