@@ -325,7 +325,12 @@ def _finish(spark, timings, extras, cores):
                      # round-5 additions: doc-level gates, PII scrub,
                      # k-step CEP (all scan-bound except q82's window)
                      "q78_gopher_gates", "q80_pii_scrub",
-                     "q82_sequence_match"]:
+                     "q82_sequence_match",
+                     # round-6 additions: bucketed range join, LM
+                     # quality scoring, sequence packing (one shuffle +
+                     # per-shard pandas scan)
+                     "q97_range_join", "q99_lm_quality",
+                     "q100_pack_sequences"]:
             t0 = time.time()
             q[name](spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)

@@ -49,7 +49,8 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
            jaccard: float = 0.5, out: str | None = None,
            repetition_gate: bool = True, holdout=None,
            pii_scrub: bool = True, c4_line_delim: str | None = None,
-           doc_gates: bool = False, span_dedup_n: int | None = None):
+           doc_gates: bool = False, span_dedup_n: int | None = None,
+           lm_nll_max: float | None = None, lm_vocab: int = 4096):
     """(curated DataFrame, funnel stats dict). Deterministic keeper
     rule at every stage: min doc_id survives.
 
@@ -174,6 +175,23 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         gated.unpersist()
         gated = gated2
 
+    if lm_nll_max is not None:
+        # LM quality gate (CCNet-style, unigram edition): fit the LM on
+        # the corpus that SURVIVED the rule gates (the same
+        # self-reference CCNet's target-domain LM approximates), drop
+        # docs whose mean NLL exceeds the threshold — gibberish and
+        # boilerplate spam score high. Vocab is bounded + broadcast;
+        # see functions/text.lm_quality and PLANS.md §q99.
+        from watermark_detector_spark.functions.text import lm_quality
+
+        lm_keep = (lm_quality(gated, gated, vocab_size=lm_vocab)
+                   .where(F.col("avg_nll") <= lm_nll_max)
+                   .select("doc_id"))
+        gated_lm = gated.join(lm_keep, "doc_id", "left_semi").persist()
+        stats["after_lm_gate"] = gated_lm.count()
+        gated.unpersist()
+        gated = gated_lm
+
     # exact dedup: one shuffle on the md5 key, min doc_id survives
     keyed = gated.withColumn("_fp", fingerprint(F.col("text")))
     keepers = keyed.groupBy("_fp").agg(F.min("doc_id").alias("_keeper"))
@@ -248,6 +266,12 @@ def main() -> None:  # pragma: no cover - CLI wrapper
                     help="cross-document exact span dedup: remove "
                          "duplicated runs of N lines (first occurrence "
                          "kept, docs rebuilt)")
+    ap.add_argument("--lm-nll-max", type=float, default=None,
+                    help="LM quality gate: drop docs whose mean "
+                         "negative log likelihood under a unigram LM "
+                         "fit on the gated corpus exceeds this")
+    ap.add_argument("--lm-vocab", type=int, default=4096,
+                    help="vocabulary size for the --lm-nll-max LM")
     args = ap.parse_args()
 
     from watermark_detector_spark.session import get_spark
@@ -264,6 +288,7 @@ def main() -> None:  # pragma: no cover - CLI wrapper
         c4_line_delim=args.c4_line_delim,
         doc_gates=args.doc_gates,
         span_dedup_n=args.span_dedup_n,
+        lm_nll_max=args.lm_nll_max, lm_vocab=args.lm_vocab,
     )
     print(json.dumps({"out": args.out, **stats}))
     spark.stop()

@@ -1536,3 +1536,59 @@ def test_pack_sequences_greedy_and_oversize(spark):
             pack_sequences(docs, 10, n_shards=2).collect()} == {0}
     with pytest.raises(ValueError):
         pack_sequences(docs, capacity=0)
+
+
+def test_curate_lm_gate(spark):
+    """curate(lm_nll_max=...): the unigram LM fit on the gated corpus
+    drops the gibberish outlier (every token OOV -> max NLL) while
+    fluent docs built from the corpus vocabulary survive; funnel gains
+    after_lm_gate between the gates and exact dedup."""
+    from jobs.curate import curate
+
+    from watermark_detector_spark.functions.text import lm_quality
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs through the green field near the old barn "
+            "while the farmer watches the sky and the clouds drift")
+    alt = ("the river flows past the village where the miller grinds "
+           "the corn and the children play by the water under the "
+           "bridge while the birds sing in the trees and the fox naps")
+    # a few 'the's pass the lang gate; everything else is one-off junk
+    gibberish = ("the qz0x vrk9 plmt zzqj wfhg the xxo2 kkr7 bnm4 qpw8 "
+                 "zzt1 aal5 rrd3 uue6 iio9 the ppa2 ssk4 ddf7 ggh1 jjl8")
+    docs = spark.createDataFrame(
+        [(1, base, "s0"), (2, alt, "s0"), (3, gibberish, "s1")],
+        "doc_id long, text string, source string")
+    # self-calibrated cut: the gibberish doc must score strictly worse
+    # than both fluent docs; the gate threshold sits between them
+    scores = {r.doc_id: r.avg_nll
+              for r in lm_quality(docs, docs, vocab_size=64).collect()}
+    assert scores[3] > max(scores[1], scores[2]), scores
+    thr = (scores[3] + max(scores[1], scores[2])) / 2
+    curated, stats = curate(spark, docs, repetition_gate=False,
+                            min_quality=0.0, min_tokens=1,
+                            lm_nll_max=thr, lm_vocab=64)
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert kept == [1, 2], (kept, stats, scores)
+    assert stats["after_lm_gate"] == 2
+    assert stats["after_gate"] >= stats["after_lm_gate"]
+
+
+def test_range_join_with_equi_key(spark):
+    """range_join(on=...): the equi-key composes with the bucket key —
+    a point inside an interval's time span but under a different key
+    must NOT match."""
+    from datetime import datetime
+
+    from watermark_detector_spark.operators.joins import range_join
+
+    T = lambda m: datetime(2025, 3, 1, 0, m, 0)
+    pts = spark.createDataFrame(
+        [(1, 7, T(5)), (2, 8, T(5)), (3, 7, T(50))],
+        "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(10, 7, T(0), T(10)), (20, 8, T(0), T(10))],
+        "ivid long, k long, s timestamp, e timestamp")
+    got = {(r.pid, r.iv_ivid) for r in
+           range_join(pts, iv, "ts", "s", "e", bucket_s=60, on="k").collect()}
+    assert got == {(1, 10), (2, 20)}
