@@ -1395,15 +1395,12 @@ def _q88_stream_quality_gate(spark, sf: str) -> DataFrame:
 _SINK_STAGE_CACHE: dict[str, str] = {}
 
 
-def _q86_sink_time_travel(spark, sf: str) -> DataFrame:
-    """Exactly-once sink TIME-TRAVEL read (Iceberg snapshot-read
-    analog, streaming/sink.read(as_of_batch=N)): documents committed as
-    5 micro-batches (batch b = doc_id % 5 == b, with batches 0 and 1
-    REPLAYED to prove the idempotent ledger — the replays must be
-    no-ops or the counts below double), then the table is read AS OF
-    batch 2 and aggregated. The oracle replays the snapshot predicate
-    (doc_id % 5 <= 2) against the raw table — commit lineage, replay
-    dedup and the snapshot cut all enter the hash."""
+def _sink_stage(spark, sf: str):
+    """Stage the documents table into an exactly-once sink ONCE per
+    (session, sf) — 5 micro-batches (batch b = doc_id % 5 == b) with
+    batches 0 and 1 REPLAYED to prove the idempotent ledger (the
+    replays must be no-ops or q86/q104's counts double). Shared by the
+    time-travel (q86) and incremental-read (q104) queries."""
     from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
 
     key = f"{id(spark)}:{sf}"
@@ -1420,8 +1417,20 @@ def _q86_sink_time_travel(spark, sf: str) -> DataFrame:
         import atexit
 
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-    sink = ExactlyOnceParquetSink(_SINK_STAGE_CACHE[key],
+    return ExactlyOnceParquetSink(_SINK_STAGE_CACHE[key],
                                   output_partitions=2)
+
+
+def _q86_sink_time_travel(spark, sf: str) -> DataFrame:
+    """Exactly-once sink TIME-TRAVEL read (Iceberg snapshot-read
+    analog, streaming/sink.read(as_of_batch=N)): documents committed as
+    5 micro-batches (batch b = doc_id % 5 == b, with batches 0 and 1
+    REPLAYED to prove the idempotent ledger — the replays must be
+    no-ops or the counts below double), then the table is read AS OF
+    batch 2 and aggregated. The oracle replays the snapshot predicate
+    (doc_id % 5 <= 2) against the raw table — commit lineage, replay
+    dedup and the snapshot cut all enter the hash."""
+    sink = _sink_stage(spark, sf)
     snap = sink.read(spark, as_of_batch=2)
     return snap.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2002,6 +2011,61 @@ def _q100_pack_sequences(spark, sf: str) -> DataFrame:
     return pack_sequences(d, capacity=256, n_shards=8)
 
 
+def _q102_absence(spark, sf: str) -> DataFrame:
+    """Batch CEP NOT-pattern (operators/cep.absence_match, Flink CEP
+    notFollowedBy): clicks never followed by a purchase by the same
+    user within 2 h — the timeout-alert primitive. Plans as a LEFT
+    ANTI sort-merge join on the key with the interval residual; the
+    oracle is the literal NOT EXISTS."""
+    from watermark_detector_spark.operators.cep import absence_match
+
+    e = _t(spark, sf, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    return absence_match(e, "click", "purchase", within_s=7200).select(
+        "user_id",
+        F.date_format("a_ts", _TS_FMT_SPARK).alias("a_ts"),
+        "a_id",
+    )
+
+
+def _q103_stream_absence(spark, sf: str) -> DataFrame:
+    """STREAMING CEP NOT-pattern (streaming/state.absence_alert_stream):
+    alert on clicks with no purchase within 1 h, the absence only
+    finalized once the watermark passes the deadline (late purchases
+    are dropped, not retro-suppressing). Emission rule the oracle
+    replays: NOT EXISTS over all events + deadline strictly below the
+    final watermark (max event time, ms floor, minus 30 min)."""
+    from watermark_detector_spark.streaming.state import absence_alert_stream
+
+    src, _ = _events_stream(spark, sf)
+    al = absence_alert_stream(src, "click", "purchase", within_s=3600,
+                              watermark="30 minutes")
+    name = "wmd_q103_" + uuid.uuid4().hex[:8]
+    _run_to_memory(al, name, "append")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("a_ts", _TS_FMT_SPARK).alias("a_ts"),
+        "a_id",
+    )
+
+
+def _q104_sink_incremental(spark, sf: str) -> DataFrame:
+    """Exactly-once sink INCREMENTAL read (Iceberg incremental
+    append-scan analog, streaming/sink.read_changes): the q86 staged
+    table (5 batches, 2 replayed) read as the delta (1, 3] — a CDC
+    consumer that last saw batch 1 catching up through batch 3. The
+    oracle replays the delta predicate (doc_id % 5 IN (2, 3)); replay
+    dedup and the window arithmetic both enter the hash."""
+    delta = _sink_stage(spark, sf).read_changes(
+        spark, since_batch=1, as_of_batch=3)
+    return delta.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order = CERTIFICATION-priority order. The harness caps
     CORRECTNESS_r{N}.json at 50 entries (observed rounds 2 and 3, both
@@ -2022,6 +2086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_lm_quality": _q99_lm_quality,
         "q100_pack_sequences": _q100_pack_sequences,
         "q101_stream_topk": _q101_stream_topk,
+        "q102_absence": _q102_absence,
+        "q103_stream_absence": _q103_stream_absence,
+        "q104_sink_incremental": _q104_sink_incremental,
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
@@ -2347,6 +2414,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
                    event_type, n_events, CAST(rk AS INTEGER) AS rk
             FROM rk WHERE rk <= 2
+        """,
+        "q102_absence": f"""
+            SELECT a.user_id,
+                   strftime(a.ts, '{_TS_FMT_DUCK}') AS a_ts,
+                   a.event_id AS a_id
+            FROM events a
+            WHERE a.event_type = 'click'
+              AND NOT EXISTS (
+                SELECT 1 FROM events b
+                WHERE b.user_id = a.user_id
+                  AND b.event_type = 'purchase'
+                  AND b.ts > a.ts
+                  AND b.ts <= a.ts + INTERVAL 7200 SECOND)
+        """,
+        "q103_stream_absence": f"""
+            WITH wm AS (
+              SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS wm_us
+              FROM events)
+            SELECT a.user_id,
+                   strftime(a.ts, '{_TS_FMT_DUCK}') AS a_ts,
+                   a.event_id AS a_id
+            FROM events a, wm
+            WHERE a.event_type = 'click'
+              AND epoch_us(a.ts) + 3600000000 < wm.wm_us
+              AND NOT EXISTS (
+                SELECT 1 FROM events b
+                WHERE b.user_id = a.user_id
+                  AND b.event_type = 'purchase'
+                  AND b.ts > a.ts
+                  AND b.ts <= a.ts + INTERVAL 3600 SECOND)
+        """,
+        "q104_sink_incremental": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM documents
+            WHERE doc_id % 5 IN (2, 3)
+            GROUP BY lang
         """,
         "q100_pack_sequences": r"""
             WITH RECURSIVE ord AS (

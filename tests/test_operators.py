@@ -1592,3 +1592,35 @@ def test_range_join_with_equi_key(spark):
     got = {(r.pid, r.iv_ivid) for r in
            range_join(pts, iv, "ts", "s", "e", bucket_s=60, on="k").collect()}
     assert got == {(1, 10), (2, 20)}
+
+
+def test_absence_match_semantics(spark):
+    """absence_match (CEP notFollowedBy): suppression window is the
+    half-open (a, a+within] — a B at exactly a's timestamp does NOT
+    suppress AND must not mask a later in-window B (the tie-masking
+    bug the single-window formulation has), a B at exactly a+within
+    does suppress, a B one second past does not; within_s validated."""
+    from datetime import datetime
+
+    from watermark_detector_spark.operators.cep import absence_match
+
+    T = lambda s: datetime(2024, 6, 1, 12, 0, 0) if s == 0 else \
+        datetime(2024, 6, 1, 12, s // 60, s % 60)
+    rows = [
+        # (event_id, user, sec, type)
+        (1, 1, 0, "A"), (2, 1, 30, "B"),          # suppressed (in window)
+        (3, 2, 0, "A"), (4, 2, 0, "B"),           # tie: NOT suppressed
+        (5, 3, 0, "A"), (6, 3, 0, "B"), (7, 3, 45, "B"),  # tie must not
+        # mask the in-window B at +45 -> suppressed
+        (8, 4, 0, "A"), (9, 4, 60, "B"),          # boundary: suppressed
+        (10, 5, 0, "A"), (11, 5, 61, "B"),        # past window: alert
+    ]
+    df = spark.createDataFrame(
+        [(i, u, T(s), ty) for i, u, s, ty in rows],
+        "event_id long, user_id long, ts timestamp, event_type string")
+    got = {(r.user_id, r.a_id)
+           for r in absence_match(df, "A", "B", within_s=60).collect()}
+    assert got == {(2, 3), (5, 10)}, got
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        absence_match(df, "A", "B", within_s=0)

@@ -1384,3 +1384,103 @@ def test_compact_zorder_tightens_both_dims(spark, tmp_path_factory):
     assert zsink.read(spark).count() == 4096
     with pytest.raises(ValueError):
         zsink.compact(spark, sort_cols=["x"], zorder_cols=["y"])
+
+
+def test_absence_alert_stream_semantics(spark, tmp_path_factory):
+    """Streaming CEP NOT-pattern: a same-batch B suppresses, a
+    RETAINED B (arriving before its out-of-order A) suppresses, a LATE
+    B (below watermark on arrival) is dropped and cannot
+    retro-suppress, absence finalizes via the event-time timeout, and
+    an A whose deadline never drops below the final watermark is not
+    emitted."""
+    from datetime import datetime
+
+    from watermark_detector_spark.streaming.state import absence_alert_stream
+
+    T = lambda m, s: datetime(2024, 1, 1, 10, m, s)
+    root = tmp_path_factory.mktemp("absence_stream")
+    src_dir = root / "src"
+    src_dir.mkdir()
+    batches = [
+        # b1: u1 lone click; u2 click suppressed by same-batch purchase
+        [(1, T(0, 0), 1, "click"), (2, T(0, 0), 2, "click"),
+         (3, T(0, 30), 2, "purchase")],
+        # b2: u3's purchase arrives BEFORE its click (wm -> 10:01)
+        [(4, T(2, 0), 3, "purchase")],
+        # b3: u3 click@10:01:30 out-of-order but NOT late (>= wm 10:01)
+        # -> suppressed by the retained purchase@10:02; u4 pending
+        # click; u1 purchase@10:00:20 is LATE (< wm) -> dropped, must
+        # NOT retro-suppress u1's alert
+        [(5, T(1, 30), 3, "click"), (6, T(5, 0), 4, "click"),
+         (7, T(0, 20), 1, "purchase")],
+        # b4: push the watermark to 10:29 -> u1 (deadline 10:01) and u4
+        # (deadline 10:06) finalize as alerts via timeout; u5's own
+        # deadline (10:31) stays above the final wm -> not emitted
+        [(8, T(30, 0), 5, "click")],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(src_dir / f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    al = absence_alert_stream(stream, "click", "purchase", within_s=60,
+                              watermark="1 minute")
+    q = (al.writeStream.outputMode("append").format("memory")
+         .queryName("absence_stream_test")
+         .option("checkpointLocation", str(root / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["a_ts"], r["a_id"])
+           for r in spark.table("absence_stream_test").collect()}
+    assert got == {(1, T(0, 0), 1), (4, T(5, 0), 6)}, got
+
+
+def test_sink_read_changes_incremental(spark, tmp_path_factory):
+    """read_changes (Iceberg incremental append-scan analog):
+    non-overlapping windows partition the table exactly once, a replay
+    does not duplicate the delta, a fully-enclosed compacted range
+    serves the delta from its compact dir, a straddling vacuumed range
+    raises EXPIRED, and empty/invalid windows raise."""
+    import pytest as _pytest
+
+    from watermark_detector_spark.streaming.sink import ExactlyOnceParquetSink
+
+    root = str(tmp_path_factory.mktemp("sink_changes"))
+    sink = ExactlyOnceParquetSink(root, output_partitions=2,
+                                  vacuum_retention_s=0)
+    for b in range(5):
+        sink.write_batch(
+            spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "v"), b)
+    sink.write_batch(spark.range(999).withColumnRenamed("id", "v"), 1)  # replay: no-op
+
+    def vals(df):
+        return sorted(r["v"] for r in df.collect())
+
+    # the CDC consumer contract: (since=1, hi=3] is batches 2..3
+    assert vals(sink.read_changes(spark, 1, 3)) == list(range(20, 40))
+    # default hi = latest committed
+    assert vals(sink.read_changes(spark, 3)) == list(range(40, 50))
+    # non-overlapping windows partition the full table
+    assert (vals(sink.read_changes(spark, -1, 1))
+            + vals(sink.read_changes(spark, 1, 4))
+            == vals(sink.read(spark)))
+    with _pytest.raises(ValueError, match="empty change window"):
+        sink.read_changes(spark, 4, 4)
+    with _pytest.raises(ValueError, match="empty change window"):
+        sink.read_changes(spark, 7)
+
+    # compaction: a window ENCLOSING the folded range reads the compact
+    # dir (same rows); one STRADDLING the vacuumed range is EXPIRED
+    sink.compact(spark, output_partitions=1)  # folds 0-4, retention 0
+    assert vals(sink.read_changes(spark, -1, 4)) == list(range(50))
+    with _pytest.raises(ValueError, match="EXPIRED"):
+        sink.read_changes(spark, 1, 3)
+    # post-compaction appends flow through incremental reads unchanged
+    sink.write_batch(spark.range(50, 60).withColumnRenamed("id", "v"), 5)
+    assert vals(sink.read_changes(spark, 4)) == list(range(50, 60))

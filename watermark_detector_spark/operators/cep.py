@@ -260,3 +260,42 @@ def kleene_match(df: DataFrame, first: Step, mid: Step, last: Step,
         "n_mid",
         F.col("_aid").alias("first_id"),
     )
+
+
+def absence_match(df: DataFrame, first: str, second: str, within_s: int,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  id_col: str = "event_id") -> DataFrame:
+    """CEP NOT-pattern (Flink CEP ``notFollowedBy`` / MATCH_RECOGNIZE
+    absence): per key, every event of type ``first`` with NO event of
+    type ``second`` in the half-open window ``(ts, ts + within_s]`` —
+    the timeout-alert primitive (order placed, never shipped; error
+    with no recovery; page fetched, robots never honored).
+
+    Shape: LEFT ANTI join of the A-side against the B-side on the key
+    with the interval residual — Spark plans a sort-merge (or, with a
+    small B side, broadcast) anti join: one shuffle per side on the
+    key, per-key linear merge. The alternative single-window
+    formulation (min B-ts over following rows) mis-handles a B tied at
+    exactly the A row's timestamp masking a later in-window B, so the
+    anti join is the exact form. All arithmetic is INTERVAL-based —
+    timezone-free, so an independent engine (the q102 oracle) replays
+    it verbatim. ``absence_alert_stream`` (streaming/state) is the
+    event-time twin."""
+    if within_s <= 0:
+        raise ValueError(f"within_s must be positive, got {within_s}")
+    a = df.where(F.col(type_col) == first).select(
+        key_col, F.col(ts_col).alias("a_ts"), F.col(id_col).alias("a_id"))
+    b = df.where(F.col(type_col) == second).select(
+        F.col(key_col).alias("_bk"), F.col(ts_col).alias("_bts"))
+    gap = F.expr(f"INTERVAL {int(within_s)} SECOND")
+    return (
+        a.join(
+            b,
+            (a[key_col] == b["_bk"])
+            & (F.col("_bts") > F.col("a_ts"))
+            & (F.col("_bts") <= F.col("a_ts") + gap),
+            "left_anti",
+        )
+        .select(key_col, "a_ts", "a_id")
+    )

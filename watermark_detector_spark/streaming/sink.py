@@ -395,6 +395,64 @@ class ExactlyOnceParquetSink:
                 f"under {self.root}")
         return spark.read.parquet(*paths)
 
+    def read_changes(self, spark: SparkSession, since_batch: int,
+                     as_of_batch: int | None = None) -> DataFrame:
+        """INCREMENTAL read (Iceberg incremental append-scan analog):
+        exactly the rows appended by committed batches with
+        ``since_batch < id <= as_of_batch`` (default: the latest
+        committed id). This is the CDC consumer pattern — a downstream
+        job remembers the last batch id it processed and reads only the
+        delta, never rescanning the table; because the sink is
+        append-only with an idempotent ledger, appends ARE the complete
+        change set and each row is delivered exactly once across
+        successive non-overlapping calls.
+
+        A compacted range lying entirely inside the window reads from
+        its compact dir (same bytes, fewer files); a range STRADDLING
+        either boundary falls back to the shadowed per-batch dirs, and
+        past vacuum's retention that delta is EXPIRED and the read
+        raises rather than silently widening or narrowing the window —
+        exactly Iceberg's expired-snapshot contract for incremental
+        scans."""
+        ranges, singles = self._manifest_state()
+        committed = set(singles)
+        for r in ranges:
+            committed.update(range(r["lo"], r["hi"] + 1))
+        if not committed:
+            raise ValueError(f"no committed batches under {self.root}")
+        hi = max(committed) if as_of_batch is None else as_of_batch
+        if since_batch >= hi:
+            raise ValueError(
+                f"empty change window: since_batch={since_batch} >= "
+                f"as_of_batch={hi}")
+        fs = self.fs
+        paths = []
+        for r in ranges:
+            if r["hi"] <= since_batch or r["lo"] > hi:
+                continue
+            if r["lo"] > since_batch and r["hi"] <= hi:
+                paths.append(os.path.join(
+                    self.data_dir, f"compact_{r['lo']}-{r['hi']}"))
+                continue
+            for b in range(max(r["lo"], since_batch + 1),
+                           min(r["hi"], hi) + 1):
+                p = os.path.join(self.data_dir, f"batch_id={b}")
+                if not fs.exists(p):
+                    raise ValueError(
+                        f"incremental window ({since_batch}, {hi}] is "
+                        f"EXPIRED: batch {b} was folded into "
+                        f"compact_{r['lo']}-{r['hi']} which straddles "
+                        "the window boundary, and its per-batch files "
+                        "were vacuumed")
+                paths.append(p)
+        paths += [os.path.join(self.data_dir, f"batch_id={b}")
+                  for b in singles if since_batch < b <= hi]
+        if not paths:
+            raise ValueError(
+                f"no committed batches in ({since_batch}, {hi}] "
+                f"under {self.root}")
+        return spark.read.parquet(*paths)
+
     # -- maintenance: small-file compaction (snapshot rewrite) -------------
     def compact(self, spark: SparkSession, output_partitions: int | None = None,
                 vacuum: bool = True,

@@ -997,3 +997,122 @@ def kleene_match_stream(events: DataFrame, first, mid, last,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ABSENCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("a_ts", T.TimestampType(), False),
+        T.StructField("a_id", T.LongType(), False),
+    ]
+)
+ABSENCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("a_ts_us", T.ArrayType(T.LongType()), True),
+        T.StructField("a_ids", T.ArrayType(T.LongType()), True),
+        T.StructField("b_ts_us", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _absence_fn_factory(first_type: str, second_type: str, within_s: int):
+    within_us = within_s * _US
+
+    def _fn(key: tuple, pdf_iter: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            a_ts_l, a_id_l, b_ts_l = state.get
+            a_buf = [(int(t), int(i)) for t, i in zip(a_ts_l, a_id_l)]
+            b_buf = [int(b) for b in b_ts_l]
+        else:
+            a_buf, b_buf = [], []
+        if not state.hasTimedOut:
+            chunks = [p for p in pdf_iter if len(p)]
+            if chunks:
+                rows = pd.concat(chunks, ignore_index=True)
+                for ts, ty, eid in zip(rows["ts"], rows["event_type"],
+                                       rows["event_id"]):
+                    t_us = int(pd.Timestamp(ts).value // 1000)
+                    if t_us < wm_us:
+                        continue  # late by watermark: dropped — a late
+                        # B therefore cannot retro-suppress (same
+                        # late-data contract as every event-time op)
+                    if ty == first_type:
+                        a_buf.append((t_us, eid))
+                    elif ty == second_type:
+                        b_buf.append(t_us)
+        # suppression: an A with ANY B in (a, a+within] will never
+        # alert. Re-checking against the full retained B set is exact:
+        # B's pruned below the watermark were already applied in their
+        # arrival batch, and no future A can pair with them (a future
+        # A has ts >= wm > pruned b, so b is not after it).
+        a_buf = [(t, i) for t, i in a_buf
+                 if not any(t < b <= t + within_us for b in b_buf)]
+        a_buf.sort()
+        # absence is PROVEN once the watermark passes a + within: no
+        # suppressing B can arrive anymore
+        out = [(t, i) for t, i in a_buf if t + within_us < wm_us]
+        a_keep = [(t, i) for t, i in a_buf if t + within_us >= wm_us]
+        # a B below the watermark can never suppress a future A (above)
+        b_keep = sorted(b for b in b_buf if b >= wm_us)
+        if not a_keep and not b_keep:
+            state.remove()
+        else:
+            state.update((
+                [t for t, _ in a_keep],
+                [i for _, i in a_keep],
+                b_keep,
+            ))
+            # fire when the earliest pending decision finalizes; with
+            # only B's left, when the watermark sweeps past them (state
+            # then collapses — bounded state for inactive keys)
+            if a_keep:
+                fire_us = a_keep[0][0] + within_us
+            else:
+                fire_us = b_keep[-1]
+            state.setTimeoutTimestamp(fire_us // 1000 + 1)
+        if out:
+            yield pd.DataFrame(
+                {"user_id": user,
+                 "a_ts": [pd.Timestamp(t, unit="us") for t, _ in out],
+                 "a_id": [i for _, i in out]})
+
+    return _fn
+
+
+def absence_alert_stream(events: DataFrame, first_type: str,
+                         second_type: str, within_s: int,
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Streaming CEP NOT-pattern (the event-time twin of
+    operators/cep.absence_match; Flink CEP ``notFollowedBy`` with a
+    time bound): per key, ALERT on every ``first_type`` event that is
+    NOT followed by a ``second_type`` event within ``within_s``
+    seconds — the timeout-alert primitive (order never shipped, error
+    never recovered).
+
+    Absence is only decidable once no suppressing event can still
+    arrive, i.e. once the event-time watermark passes ``a + within``;
+    pending A's buffer in state until then, B's buffer while they can
+    still suppress a future out-of-order A (ts >= watermark), and an
+    event-time timeout finalizes silent keys — state is bounded by
+    horizon x per-key rate on both sides. Late events (below the
+    watermark on arrival) are dropped, so a late B does not
+    retro-suppress — identical late-data semantics to the windowed
+    aggregations. Emission contract (what the q103 oracle replays):
+    exactly the A events with no B in ``(a_ts, a_ts + within]`` whose
+    deadline ``a_ts + within`` lies strictly below the final watermark
+    (max event time, ms floor, minus the delay)."""
+    return (
+        events.select("user_id", "ts", "event_type", "event_id")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _absence_fn_factory(first_type, second_type, within_s),
+            outputStructType=ABSENCE_OUTPUT_SCHEMA,
+            stateStructType=ABSENCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
