@@ -2066,6 +2066,34 @@ def _q104_sink_incremental(spark, sf: str) -> DataFrame:
     )
 
 
+def _q105_url_canonical_dedup(spark, sf: str) -> DataFrame:
+    """URL-level dedup by CANONICAL URL (Common Crawl's own first-pass
+    dedup key; functions/domains.url_canonicalize): case, default
+    port, www, fragment, trailing slashes, tracking params and param
+    ORDER all collapse, so the four messy per-doc variants synthesized
+    here (deterministic in doc_id on BOTH engines) fold to two
+    canonical groups per source. One scan-side canonical column + one
+    exact groupBy — the keeper rule (min doc_id) is the same as exact
+    text dedup's."""
+    from watermark_detector_spark.functions.domains import url_canonicalize
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".com:443/a/b"),
+        F.when(did % 4 == 0, F.lit("/?utm_source=feed&x=1"))
+        .when(did % 4 == 1, F.lit("?x=1&gclid=zzz"))
+        .when(did % 4 == 2, F.lit("/#sec"))
+        .otherwise(F.lit("?x=1")),
+    )
+    return (
+        d.select("doc_id", url_canonicalize(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("keeper_id"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order = CERTIFICATION-priority order. The harness caps
     CORRECTNESS_r{N}.json at 50 entries (observed rounds 2 and 3, both
@@ -2089,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_absence": _q102_absence,
         "q103_stream_absence": _q103_stream_absence,
         "q104_sink_incremental": _q104_sink_incremental,
+        "q105_url_canonical_dedup": _q105_url_canonical_dedup,
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
@@ -2444,6 +2473,62 @@ def oracle_sql() -> dict[str, str]:
                   AND b.event_type = 'purchase'
                   AND b.ts > a.ts
                   AND b.ts <= a.ts + INTERVAL 3600 SECOND)
+        """,
+        "q105_url_canonical_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.' || source || '.com:443/a/b' ||
+                     CASE doc_id % 4
+                       WHEN 0 THEN '/?utm_source=feed&x=1'
+                       WHEN 1 THEN '?x=1&gclid=zzz'
+                       WHEN 2 THEN '/#sec'
+                       ELSE '?x=1' END AS url
+              FROM documents),
+            u0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+                   FROM raw),
+            s AS (SELECT doc_id,
+                         lower(regexp_extract(u,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                         regexp_replace(u,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                  FROM u0),
+            h AS (SELECT doc_id, scheme,
+                         lower(regexp_extract(rest, '^([^/?]+)', 1))
+                           AS hostport,
+                         regexp_replace(rest, '^[^/?]*', '') AS pathq
+                  FROM s),
+            hh AS (SELECT doc_id, scheme, pathq,
+                          regexp_replace(
+                            CASE WHEN scheme = 'http'
+                                 THEN regexp_replace(hostport, ':80$', '')
+                                 WHEN scheme = 'https'
+                                 THEN regexp_replace(hostport, ':443$', '')
+                                 ELSE hostport END,
+                            '^www\.', '') AS host
+                   FROM h),
+            pq AS (SELECT doc_id, scheme, host,
+                          regexp_replace(
+                            regexp_extract(pathq, '^([^?]*)', 1),
+                            '/+$', '') AS path0,
+                          regexp_extract(pathq, '\?(.*)$', 1) AS query
+                   FROM hh),
+            pr AS (SELECT doc_id, scheme, host,
+                          CASE WHEN path0 = '' THEN '/' ELSE path0 END
+                            AS path,
+                          list_sort(list_filter(string_split(query, '&'),
+                            x -> x <> '' AND NOT regexp_matches(x,
+                              '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|ref|ref_src)=')))
+                            AS params
+                   FROM pq),
+            canon AS (SELECT doc_id,
+                             scheme || '://' || host || path ||
+                             CASE WHEN len(params) > 0
+                                  THEN '?' || array_to_string(params, '&')
+                                  ELSE '' END AS canonical_url
+                      FROM pr)
+            SELECT canonical_url, count(*) AS n_docs,
+                   min(doc_id) AS keeper_id
+            FROM canon GROUP BY canonical_url
         """,
         "q104_sink_incremental": """
             SELECT lang,

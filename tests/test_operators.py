@@ -1624,3 +1624,26 @@ def test_absence_match_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         absence_match(df, "A", "B", within_s=0)
+
+
+def test_url_canonicalize_hand_cases(spark):
+    """url_canonicalize: every normalization rule on hand-built URLs —
+    case, default ports (scheme-matched only), www, fragment, trailing
+    slashes, tracking-param removal, param sorting; values preserved."""
+    from watermark_detector_spark.functions.domains import url_canonicalize
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://ex.com/a/b?a=1&b=2"),
+        ("http://ex.com:80/", "http://ex.com/"),
+        ("http://ex.com:443/x", "http://ex.com:443/x"),  # not http's port
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com/p?gclid=z&ref=rss", "https://ex.com/p"),
+        ("https://ex.com/p///", "https://ex.com/p"),
+        ("https://ex.com/A/B?q=Mixed+Case", "https://ex.com/A/B?q=Mixed+Case"),
+        ("https://ex.com/p?b=1&b=0", "https://ex.com/p?b=0&b=1"),  # repeats kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(url_canonicalize(F.col("url")).alias("c")).collect()]
+    assert got == [w for _, w in cases], list(zip(got, [w for _, w in cases]))

@@ -93,3 +93,54 @@ def url_keep(url: Column,
     for t in banned_tokens:
         cond = cond & ~low.contains(t)
     return cond
+
+
+URL_TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|ref|ref_src)="
+)
+
+
+def url_canonicalize(url: Column,
+                     strip_www: bool = True,
+                     tracking_re: str = URL_TRACKING_PARAM_RE) -> Column:
+    """Canonical URL form — THE dedup key for URL-level dedup (every
+    Common-Crawl pipeline's first dedup pass; CC itself deduplicates
+    per crawl by canonicalized URL): lowercase scheme+host, default
+    port stripped (:80 for http, :443 for https), leading ``www.``
+    stripped, fragment dropped, trailing path slashes collapsed (empty
+    path -> ``/``), tracking query params (utm_*, fbclid, gclid, ...)
+    removed and the survivors SORTED so param order cannot split a
+    group. Path case, param VALUES and param repetition are preserved
+    — they are semantically significant.
+
+    Pure regex + array codegen (no parse_url, which DuckDB lacks) —
+    every step replays verbatim in an independent engine, and the
+    column rides the scan: canonical-URL dedup is then one exact
+    groupBy, same shape as q07. Input must carry a scheme
+    (``x://...``); anything else passes through mangled-in ==
+    mangled-out."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, "^([^?]*)", 1),
+                            "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(tracking_re)))
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
