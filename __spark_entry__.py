@@ -2049,6 +2049,33 @@ def _q103_stream_absence(spark, sf: str) -> DataFrame:
     )
 
 
+def _q106_sink_stream(spark, sf: str) -> DataFrame:
+    """Tail the exactly-once sink as a STREAMING SOURCE (Delta/Iceberg
+    streaming-read analog, sources/sink_stream): the q86 staged table
+    (5 committed batches, 2 replayed as no-ops by the ledger) is read
+    through ``readStream.format("wmsink")`` — the manifest ledger IS
+    the offset log, one InputPartition per committed parquet part-file,
+    rows shipped as Arrow RecordBatches — gated statelessly in-stream,
+    landed in a memory sink, then aggregated. The oracle replays the
+    gate over the raw table, so ledger replay-dedup, offset planning
+    and the Arrow read path all enter the hash."""
+    from watermark_detector_spark.sources import sink_stream
+
+    sink = _sink_stage(spark, sf)
+    sink_stream.register(spark)
+    src = spark.readStream.format("wmsink").load(sink.root)
+    gated = src.where(F.col("n_chars") >= 200).select(
+        "doc_id", "lang", "n_chars")
+    name = "wmd_q106_" + uuid.uuid4().hex[:8]
+    _run_to_memory(gated, name, "append")
+    return spark.table(name).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _q104_sink_incremental(spark, sf: str) -> DataFrame:
     """Exactly-once sink INCREMENTAL read (Iceberg incremental
     append-scan analog, streaming/sink.read_changes): the q86 staged
@@ -2118,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_stream_absence": _q103_stream_absence,
         "q104_sink_incremental": _q104_sink_incremental,
         "q105_url_canonical_dedup": _q105_url_canonical_dedup,
+        "q106_sink_stream": _q106_sink_stream,
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
@@ -3079,6 +3107,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM kept GROUP BY lang
+        """,
+        "q106_sink_stream": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM documents
+            WHERE n_chars >= 200
+            GROUP BY lang
         """,
         "q86_sink_time_travel": """
             SELECT lang,

@@ -425,6 +425,15 @@ class ExactlyOnceParquetSink:
             raise ValueError(
                 f"empty change window: since_batch={since_batch} >= "
                 f"as_of_batch={hi}")
+        return spark.read.parquet(*self.change_paths(since_batch, hi))
+
+    def change_paths(self, since_batch: int, hi: int) -> list[str]:
+        """Data directories holding exactly the rows appended by batches
+        in ``(since_batch, hi]`` — the path-resolution core shared by
+        :meth:`read_changes` and the streaming source
+        (sources/sink_stream.py), so both present the identical EXPIRED
+        contract when compaction+vacuum has swept a straddled window."""
+        ranges, singles = self._manifest_state()
         fs = self.fs
         paths = []
         for r in ranges:
@@ -451,7 +460,7 @@ class ExactlyOnceParquetSink:
             raise ValueError(
                 f"no committed batches in ({since_batch}, {hi}] "
                 f"under {self.root}")
-        return spark.read.parquet(*paths)
+        return paths
 
     # -- maintenance: small-file compaction (snapshot rewrite) -------------
     def compact(self, spark: SparkSession, output_partitions: int | None = None,
