@@ -2049,6 +2049,38 @@ def _q103_stream_absence(spark, sf: str) -> DataFrame:
     )
 
 
+def _q107_assign_ids(spark, sf: str) -> DataFrame:
+    """Dense 0..N-1 example ids in hash order (operators/ids
+    .assign_contiguous_ids) — the shard-manifest numbering step of a
+    training-data pipeline. The naive ROW_NUMBER() OVER (ORDER BY k)
+    funnels every row through ONE window task; this plans a range
+    Exchange + partition-local sorts + a P-row count collect (RDD
+    zipWithIndex re-expressed over Arrow batches), and the result is
+    provably invariant to where the range sampler cuts partitions.
+    Ordering key = md5(doc_id) so the assignment is a nontrivial
+    permutation both engines can replay."""
+    from watermark_detector_spark.operators.ids import assign_contiguous_ids
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("ord_key"))
+    return assign_contiguous_ids(d, "ord_key", num_partitions=8).select(
+        "doc_id", "ord_key", "seq_id")
+
+
+def _q108_bottomk_sample(spark, sf: str) -> DataFrame:
+    """Deterministic uniform k-sample via bottom-k-by-hash (operators/
+    ids.bottomk_sample) — reservoir sampling's distributed equivalent:
+    keep the k smallest md5(seed:key). Plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort Exchange — plan-pinned in
+    tests/test_ids.py); the oracle re-draws the identical sample with
+    ORDER BY md5 LIMIT k."""
+    from watermark_detector_spark.operators.ids import bottomk_sample
+
+    d = _t(spark, sf, "documents")
+    return bottomk_sample(d, 50, key_col="doc_id", seed="s0").select(
+        "doc_id", "lang", "source", "n_chars")
+
+
 def _q106_sink_stream(spark, sf: str) -> DataFrame:
     """Tail the exactly-once sink as a STREAMING SOURCE (Delta/Iceberg
     streaming-read analog, sources/sink_stream): the q86 staged table
@@ -2146,6 +2178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_sink_incremental": _q104_sink_incremental,
         "q105_url_canonical_dedup": _q105_url_canonical_dedup,
         "q106_sink_stream": _q106_sink_stream,
+        "q107_assign_ids": _q107_assign_ids,
+        "q108_bottomk_sample": _q108_bottomk_sample,
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
@@ -3107,6 +3141,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM kept GROUP BY lang
+        """,
+        "q107_assign_ids": """
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+                        AS BIGINT) AS seq_id
+            FROM documents
+        """,
+        "q108_bottomk_sample": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR))
+            LIMIT 50
         """,
         "q106_sink_stream": """
             SELECT lang,
