@@ -2081,6 +2081,73 @@ def _q108_bottomk_sample(spark, sf: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars")
 
 
+def _q109_dsir_resample(spark, sf: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, operators/sampling
+    .dsir_log_weights + importance_resample): hashed word-bigram
+    importance weights of a raw pool (doc_id % 7 != 0) toward a
+    curated target (doc_id % 7 == 0), then a Gumbel top-k draw of 100
+    docs proportional-to-exp(log_w) — all pure functions of md5, so
+    the oracle replays the identical selection. Plan: two small bucket
+    aggs + a broadcast ratio join + one doc-key shuffle +
+    TakeOrderedAndProject; no UDF anywhere."""
+    from watermark_detector_spark.operators.sampling import (
+        dsir_log_weights,
+        importance_resample,
+    )
+
+    d = _t(spark, sf, "documents")
+    w = dsir_log_weights(
+        d.where(F.col("doc_id") % 7 != 0),
+        d.where(F.col("doc_id") % 7 == 0),
+    )
+    return importance_resample(w, 100).select(
+        "doc_id", "n_grams",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("sel_key", 6).alias("sel_key"),
+    )
+
+
+def _q110_dedup_keep_best(spark, sf: str) -> DataFrame:
+    """Quality-aware dedup keeper selection (operators/dedup
+    .cluster_representatives): connected components over the q45
+    near-dup pair set, then keep the LONGEST member per cluster
+    (ties → min id) plus every singleton — the production keep-one
+    policy, argmax via partial-aggregatable max_by (plan-pinned: no
+    Window). Oracle = q59's recursive-CTE components + a row_number
+    pick + a NOT IN singleton union."""
+    from watermark_detector_spark.operators.dedup import (
+        cluster_representatives,
+        near_dup_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    pairs = near_dup_pairs(d, threshold=0.5)
+    return cluster_representatives(d, pairs, quality_col="n_chars")
+
+
+def _q111_shard_manifest(spark, sf: str) -> DataFrame:
+    """Training-export shard manifest (operators/ids.shard_assign):
+    md5-permute the corpus, number densely (q107's two-pass
+    zipWithIndex shape), cut fixed 64-doc shards, and emit the
+    per-shard manifest a downstream trainer consumes (counts, seq
+    ranges, byte totals). The oracle replays the permutation with one
+    ROW_NUMBER — fine at sf0.01, which is exactly why the distributed
+    path exists for 10^12 rows."""
+    from watermark_detector_spark.operators.ids import shard_assign
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return (
+        shard_assign(d, 64, num_partitions=8)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.min("seq_id").alias("first_seq"),
+            F.max("seq_id").alias("last_seq"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def _q106_sink_stream(spark, sf: str) -> DataFrame:
     """Tail the exactly-once sink as a STREAMING SOURCE (Delta/Iceberg
     streaming-read analog, sources/sink_stream): the q86 staged table
@@ -2180,6 +2247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_sink_stream": _q106_sink_stream,
         "q107_assign_ids": _q107_assign_ids,
         "q108_bottomk_sample": _q108_bottomk_sample,
+        "q109_dsir_resample": _q109_dsir_resample,
+        "q110_dedup_keep_best": _q110_dedup_keep_best,
+        "q111_shard_manifest": _q111_shard_manifest,
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
@@ -3155,6 +3225,112 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR))
             LIMIT 50
+        """,
+        # q109: DSIR — hashed-bigram importance weights (add-1 smoothed
+        # log p_target/p_source over 4096 md5 buckets) + Gumbel top-k;
+        # every step is a pure function of md5, replayed verbatim here
+        "q109_dsir_resample": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+            big AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS sh
+              FROM toks WHERE len(t) >= 2),
+            bkt AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(sh), 1, 8))::BIGINT % 4096 AS bucket
+              FROM big),
+            sc AS (SELECT bucket, count(*) AS cnt_s FROM bkt
+                   WHERE doc_id % 7 != 0 GROUP BY 1),
+            tc AS (SELECT bucket, count(*) AS cnt_t FROM bkt
+                   WHERE doc_id % 7 = 0 GROUP BY 1),
+            tot AS (SELECT (SELECT sum(cnt_s) FROM sc) AS s,
+                           (SELECT sum(cnt_t) FROM tc) AS t),
+            ratio AS (
+              SELECT sc.bucket,
+                     ln((coalesce(tc.cnt_t, 0) + 1.0) / (tot.t + 4096.0))
+                   - ln((sc.cnt_s + 1.0) / (tot.s + 4096.0)) AS log_r
+              FROM sc LEFT JOIN tc ON sc.bucket = tc.bucket CROSS JOIN tot),
+            w AS (
+              SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     sum(r.log_r) AS log_w
+              FROM bkt b JOIN ratio r ON b.bucket = r.bucket
+              WHERE b.doc_id % 7 != 0 GROUP BY 1),
+            sel AS (
+              SELECT doc_id, n_grams, log_w,
+                     log_w - ln(-ln(
+                       (('0x' || substr(md5('gum:s0:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                       / 4294967296.0)) AS sel_key
+              FROM w)
+            SELECT doc_id, n_grams, round(log_w, 6) AS log_w,
+                   round(sel_key, 6) AS sel_key
+            FROM sel ORDER BY sel_key DESC LIMIT 100
+        """,
+        # q110: q59's recursive-CTE components + argmax-quality pick +
+        # singleton union (keep-best dedup policy)
+        "q110_dedup_keep_best": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            bnd AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
+            sig AS (SELECT doc_id, band,
+                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                    FROM bnd GROUP BY doc_id, band),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                                          AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                                  JOIN sh sb ON sb.doc_id = c.id_b
+                                            AND sb.shingle = sa.shingle
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes x ON id_a = x.doc_id
+                                 JOIN sizes y ON id_b = y.doc_id
+                      WHERE round(1.0 * i / (x.n + y.n - i), 4) >= 0.5),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(node, lbl) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.src, r.lbl FROM e JOIN reach r ON r.node = e.dst
+            ),
+            cc AS (SELECT node, CAST(min(lbl) AS BIGINT) AS cluster_id
+                   FROM reach GROUP BY node),
+            lab AS (SELECT c.node, c.cluster_id, d.n_chars
+                    FROM cc c JOIN documents d ON d.doc_id = c.node),
+            reps AS (SELECT cluster_id, node AS keeper_id,
+                            n_chars AS keeper_quality,
+                            CAST(count(*) OVER (PARTITION BY cluster_id)
+                                 AS BIGINT) AS cluster_size,
+                            row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, node ASC) AS rn
+                     FROM lab)
+            SELECT cluster_id, keeper_id, cluster_size, keeper_quality
+            FROM reps WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, doc_id, CAST(1 AS BIGINT), n_chars
+            FROM documents WHERE doc_id NOT IN (SELECT node FROM cc)
+        """,
+        # q111: the shard layout replayed with one ROW_NUMBER — the
+        # single-reducer shape the distributed operator avoids
+        "q111_shard_manifest": """
+            WITH ordd AS (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (
+                       ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR))) - 1
+                       AS seq_id
+              FROM documents),
+            sh AS (SELECT CAST(seq_id // 64 AS BIGINT) AS shard_id,
+                          seq_id, n_chars
+                   FROM ordd)
+            SELECT shard_id, CAST(count(*) AS BIGINT) AS n_examples,
+                   CAST(min(seq_id) AS BIGINT) AS first_seq,
+                   CAST(max(seq_id) AS BIGINT) AS last_seq,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM sh GROUP BY 1
         """,
         "q106_sink_stream": """
             SELECT lang,

@@ -1,0 +1,131 @@
+"""DSIR importance resampling, cluster representatives, shard assign."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from watermark_detector_spark.operators.dedup import cluster_representatives
+from watermark_detector_spark.operators.ids import shard_assign
+from watermark_detector_spark.operators.sampling import (
+    dsir_log_weights,
+    hash_uniform,
+    importance_resample,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    # two token populations: doc_id < 50 speak "alpha beta ...",
+    # the rest "omega psi ..." — disjoint bigram distributions
+    return spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < 50,
+            F.concat_ws(" ", F.lit("alpha beta gamma delta"),
+                        F.col("id").cast("string")),
+        ).otherwise(
+            F.concat_ws(" ", F.lit("omega psi chi phi"),
+                        F.col("id").cast("string")),
+        ).alias("text"),
+    )
+
+
+def test_dsir_zero_when_target_equals_source(spark, corpus):
+    # identical distributions => log p - log q == 0 per bucket, exactly
+    w = dsir_log_weights(corpus, corpus).toPandas()
+    assert len(w) == 100
+    assert (w["log_w"].abs() < 1e-12).all()
+
+
+def test_dsir_upweights_target_like_docs(spark, corpus):
+    target = corpus.where(F.col("doc_id") < 10)  # alpha-population only
+    w = dsir_log_weights(corpus, target).toPandas().set_index("doc_id")
+    alpha_w = w.loc[[i for i in range(50)], "log_w"]
+    omega_w = w.loc[[i for i in range(50, 100)], "log_w"]
+    assert alpha_w.min() > omega_w.max()
+
+
+def test_dsir_validates_params(spark, corpus):
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_log_weights(corpus, corpus, alpha=0.0)
+    with pytest.raises(ValueError, match="n must"):
+        dsir_log_weights(corpus, corpus, n=0)
+
+
+def test_importance_resample_deterministic_and_biased(spark, corpus):
+    target = corpus.where(F.col("doc_id") < 10)
+    w = dsir_log_weights(corpus, target)
+    a = sorted(r["doc_id"] for r in importance_resample(w, 20).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in importance_resample(w.repartition(13), 20).collect()
+    )
+    assert a == b and len(a) == 20
+    # weights dominate the Gumbel noise here (gap is huge), so the
+    # sample should be mostly alpha-population docs
+    assert sum(1 for i in a if i < 50) >= 15
+    c = sorted(
+        r["doc_id"] for r in importance_resample(w, 20, seed="s9").collect()
+    )
+    assert a != c  # a different seed redraws the sample
+
+
+def test_importance_resample_plan_no_global_sort(spark, corpus):
+    w = dsir_log_weights(corpus, corpus)
+    plan = (
+        importance_resample(w, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_uniform_in_open_interval(spark):
+    df = spark.range(2000).select(
+        hash_uniform(F.col("id")).alias("u"))
+    mm = df.agg(F.min("u"), F.max("u"), F.avg("u")).collect()[0]
+    assert 0.0 < mm[0] and mm[1] < 1.0
+    assert 0.45 < mm[2] < 0.55  # roughly uniform
+
+
+def test_cluster_representatives_picks_best_quality(spark):
+    docs = spark.createDataFrame(
+        [(i, q) for i, q in enumerate([10, 50, 30, 99, 7, 7])],
+        "doc_id long, n_chars long",
+    )
+    # clusters: {0,1,2} and {4,5}; doc 3 is a singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in cluster_representatives(docs, pairs).collect()
+    }
+    assert out[0]["keeper_id"] == 1 and out[0]["keeper_quality"] == 50
+    assert out[0]["cluster_size"] == 3
+    assert out[4]["keeper_id"] == 4  # quality tie 7==7 -> smaller id
+    assert out[3]["keeper_id"] == 3 and out[3]["cluster_size"] == 1
+    assert len(out) == 3
+
+
+def test_cluster_representatives_no_window_in_plan(spark):
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("n_chars"))
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    plan = (
+        cluster_representatives(docs, pairs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # argmax is max_by, never row_number
+
+
+def test_shard_assign_exact_sizes_and_determinism(spark):
+    docs = spark.range(103).select(F.col("id").alias("doc_id"))
+    a = shard_assign(docs, 25, num_partitions=4).toPandas()
+    sizes = a.groupby("shard_id").size().sort_index()
+    assert list(sizes) == [25, 25, 25, 25, 3]
+    assert sorted(a["seq_id"]) == list(range(103))
+    b = shard_assign(docs.repartition(7), 25, num_partitions=2).toPandas()
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (m["seq_id_a"] == m["seq_id_b"]).all()
+    assert (m["shard_id_a"] == m["shard_id_b"]).all()
+    with pytest.raises(ValueError, match="shard_size"):
+        shard_assign(docs, 0)

@@ -551,3 +551,53 @@ def exact_span_dedup(docs: DataFrame, n: int = 3, line_delim: str = "\n",
         )
     )
     return rebuilt
+
+
+def cluster_representatives(docs: DataFrame, pairs: DataFrame,
+                            quality_col: str = "n_chars",
+                            id_col: str = "doc_id",
+                            id_a: str = "id_a",
+                            id_b: str = "id_b") -> DataFrame:
+    """Quality-aware keep-one policy: for every near-dup cluster keep
+    the HIGHEST-``quality_col`` member (ties → smallest id), and keep
+    every unclustered doc as its own singleton. dedup_keepers' min-id
+    policy discards information; production corpus dedup keeps the
+    best copy (longest text, highest LM score, newest crawl) — this is
+    that selection, composed from dedup_clusters.
+
+    Returns one row per surviving doc: (cluster_id, keeper_id,
+    cluster_size, keeper_quality). Dropping duplicates is then an
+    anti-join of the corpus against the non-keeper member set.
+
+    100 TB shape: CC is the dedup_clusters pointer-jumping loop; the
+    quality join and the per-cluster argmax are each ONE keyed
+    shuffle, and the argmax is F.max_by over a (quality, -id) struct —
+    a partial-aggregatable scalar agg, never a sort or a window (a
+    row_number() window here would re-sort every cluster). Singletons
+    are a LEFT ANTI against the (small) clustered-node set."""
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    q = docs.select(F.col(id_col), F.col(quality_col))
+    labeled = (
+        clusters.join(q, clusters["node"] == q[id_col])
+        .select("node", "cluster_id", quality_col)
+    )
+    reps = labeled.groupBy("cluster_id").agg(
+        F.max_by(
+            "node",
+            F.struct(F.col(quality_col), (-F.col("node")).alias("_nid")),
+        ).alias("keeper_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(quality_col).alias("keeper_quality"),
+    )
+    singles = (
+        q.join(
+            clusters.select(F.col("node").alias(id_col)), id_col, "left_anti"
+        )
+        .select(
+            F.col(id_col).alias("cluster_id"),
+            F.col(id_col).alias("keeper_id"),
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.col(quality_col).alias("keeper_quality"),
+        )
+    )
+    return reps.unionByName(singles)

@@ -141,3 +141,36 @@ def bottomk_sample(
     pri = F.md5(F.concat(F.lit(seed), F.lit(":"),
                          F.col(key_col).cast("string")))
     return df.orderBy(pri.asc()).limit(k)
+
+
+def shard_assign(df: DataFrame, shard_size: int,
+                 key_col: str = "doc_id", seed: str = "s0",
+                 num_partitions: int | None = None) -> DataFrame:
+    """Training-data export layout: deterministic global permutation +
+    dense example ids + fixed-size shard assignment, in one pass.
+
+    Rows are ordered by md5(seed:key) — a reproducible pseudo-random
+    shuffle (training-order decorrelation without rand()) — numbered
+    densely via :func:`assign_contiguous_ids`, and assigned
+    ``shard_id = seq_id // shard_size``: every shard holds exactly
+    ``shard_size`` examples except the last. Because both the
+    permutation and the numbering are pure functions of the keys, two
+    runs (or two engines) produce byte-identical shard contents — the
+    property a resumable 10^12-doc export job needs.
+
+    Adds columns ``seq_id`` and ``shard_id``; the ``__ord`` sort key
+    is dropped. Writing then partitions by shard_id
+    (``.repartition("shard_id").write.partitionBy("shard_id")``), each
+    shard a contiguous slice of the global permutation."""
+    if shard_size < 1:
+        raise ValueError("shard_assign: shard_size must be >= 1")
+    ordered = df.withColumn(
+        "__ord",
+        F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
+    )
+    withids = assign_contiguous_ids(
+        ordered, "__ord", id_name="seq_id", num_partitions=num_partitions
+    )
+    return withids.drop("__ord").withColumn(
+        "shard_id", F.floor(F.col("seq_id") / shard_size).cast("bigint")
+    )

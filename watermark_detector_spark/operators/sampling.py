@@ -103,3 +103,128 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
                 else frac.when(F.col(stratum_col) == s, thr))
     frac = F.lit(N_BUCKETS) if frac is None else frac.otherwise(N_BUCKETS)
     return df.where(bucket < frac)
+
+
+def hash_uniform(key: Column, salt: str = "u0") -> Column:
+    """Deterministic uniform in (0, 1): first 8 md5 hex nibbles of
+    ``salt:key`` scaled by 2^32, with a half-step offset so the value
+    is never exactly 0 or 1 (log / log-log transforms stay finite).
+    The portable replacement for rand() wherever a *reproducible*
+    random draw per key is needed (Gumbel sampling, jitter, A/B
+    hashing) — identical in any engine that has md5."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    return (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+
+
+def dsir_log_weights(source: DataFrame, target: DataFrame,
+                     n: int = 2, n_buckets: int = 4096,
+                     alpha: float = 1.0, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    log-importance of raw ``source`` docs toward the distribution of a
+    small curated ``target`` corpus, under hashed word-n-gram
+    bag-of-features models.
+
+    log w(doc) = sum over the doc's n-gram occurrences of
+    log p_target(bucket) - log p_source(bucket), with each
+    distribution an add-``alpha``-smoothed multinomial over
+    ``n_buckets`` md5 hash buckets. Docs with fewer than ``n`` tokens
+    have no features and are omitted (their weight is undefined).
+
+    100 TB shape: both bucket-count tables are at most ``n_buckets``
+    rows — tiny — so the per-doc scoring join BROADCASTs the log-ratio
+    table; the only big-data shuffles are the two bucket groupBys
+    (partial-aggregated, key space = n_buckets) and the final per-doc
+    sum (one shuffle on the doc key). The n-gram hashing itself is
+    scan-side JVM expression work (transform over the token array +
+    md5/conv) — no UDF, no explode of raw text across the wire beyond
+    the (id, bucket) pairs. Returns (id_col, n_grams, log_w).
+
+    Reference analog: the role of train_watermarks.py's dataset
+    curation step — selecting which raw examples enter training.
+    """
+    from .dedup import _shingles_expr
+    from ..functions.text import tokens_col
+
+    if n < 1:
+        raise ValueError("dsir_log_weights: n must be >= 1")
+    if alpha <= 0:
+        raise ValueError("dsir_log_weights: alpha must be > 0 "
+                         "(unsmoothed ratios divide by zero)")
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        return (
+            df.select(F.col(id_col), toks.alias("_toks"))
+            .where(F.size("_toks") >= n)
+            .select(
+                id_col,
+                F.explode(
+                    F.transform(
+                        _shingles_expr(F.col("_toks"), n),
+                        lambda s: hash_bucket(s, n_buckets),
+                    )
+                ).alias("bucket"),
+            )
+        )
+
+    src_b = _buckets(source)
+    tgt_cnt = (_buckets(target).groupBy("bucket")
+               .agg(F.count(F.lit(1)).alias("cnt_t")))
+    src_cnt = src_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt_s"))
+    totals = (
+        src_cnt.agg(F.sum("cnt_s").alias("_s"))
+        .crossJoin(tgt_cnt.agg(F.sum("cnt_t").alias("_t")))
+    )
+    a, ab = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
+    ratio = F.broadcast(
+        src_cnt.join(tgt_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("cnt_t"), F.lit(0)) + a)
+                      / (F.col("_t") + ab))
+                - F.log((F.col("cnt_s") + a) / (F.col("_s") + ab))
+            ).alias("log_r"),
+        )
+    )
+    return (
+        src_b.join(ratio, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("log_r").alias("log_w"),
+        )
+    )
+
+
+def importance_resample(df: DataFrame, k: int,
+                        weight_col: str = "log_w",
+                        key_col: str = "doc_id",
+                        seed: str = "s0",
+                        sel_col: str = "sel_key") -> DataFrame:
+    """Draw ``k`` rows ~ proportional-to-exp(weight) WITHOUT
+    replacement via the Gumbel top-k trick: rank by
+    ``weight + Gumbel(0,1)`` and keep the k largest. The Gumbel noise
+    comes from :func:`hash_uniform` (g = -ln(-ln(u))), so the draw is
+    a pure function of (seed, key, weight): re-runs, engine ports and
+    repartitionings select the SAME sample — this is reservoir
+    sampling with weights, made deterministic.
+
+    Plans as TakeOrderedAndProject: per-partition k-heaps merged on
+    the driver, no global sort Exchange; only k rows per partition
+    cross the wire."""
+    if k < 1:
+        raise ValueError("importance_resample: k must be >= 1")
+    g = -F.log(-F.log(hash_uniform(F.col(key_col), salt="gum:" + seed)))
+    return (
+        df.withColumn(sel_col, F.col(weight_col) + g)
+        .orderBy(F.desc(sel_col))
+        .limit(k)
+    )
