@@ -19,7 +19,15 @@ operators:
                   connected components → keeper anti-join
   8. decontaminate  (--holdout) drop docs sharing any winnowing
                 fingerprint with the holdout/eval corpus
-  9. write      curated parquet + one JSON line of funnel stats
+  9. dsir       (--dsir-target/--dsir-k) DSIR importance resampling:
+                keep k docs ∝ exp(hashed-bigram log-importance toward
+                the target corpus), Gumbel top-k, fully deterministic
+ 10. write      curated parquet + one JSON line of funnel stats; with
+                --shard-size, fixed-size training shards instead
+                (md5 permutation, dense seq_id, partitionBy shard)
+
+Near-dedup keeper policy: min doc_id by default; --keep-best keeps the
+longest member of each cluster.
 
 Every stage is a DataFrame transform; the only shuffles are the
 fingerprint key, the (band, minhash) key, the candidate equi-joins and
@@ -50,9 +58,16 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
            repetition_gate: bool = True, holdout=None,
            pii_scrub: bool = True, c4_line_delim: str | None = None,
            doc_gates: bool = False, span_dedup_n: int | None = None,
-           lm_nll_max: float | None = None, lm_vocab: int = 4096):
+           lm_nll_max: float | None = None, lm_vocab: int = 4096,
+           near_keep: str = "min_id", dsir_target=None,
+           dsir_k: int | None = None, shard_size: int | None = None):
     """(curated DataFrame, funnel stats dict). Deterministic keeper
-    rule at every stage: min doc_id survives.
+    rule at every stage: min doc_id survives — unless
+    ``near_keep="best"``, which keeps the longest member of each
+    near-dup cluster instead (dedup_drops_best). ``dsir_target`` +
+    ``dsir_k`` add a DSIR importance-resampling selection toward the
+    target corpus as the final stage; ``shard_size`` writes the output
+    as fixed-size training shards (shard_assign + partitionBy).
 
     Materialization discipline (this lineage is re-read by the funnel
     counts, three shingle scans inside near-dup, the anti-join, AND the
@@ -206,8 +221,19 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
 
     # near dedup: LSH → Jaccard-on-candidates → components → drop non-keepers
     pairs = near_dup_pairs(exact, threshold=jaccard)
-    dups = dedup_keepers(pairs).where(F.col("is_duplicate")) \
-        .select(F.col("node").alias("doc_id"))
+    if near_keep == "best":
+        # keep-best policy: longest text survives each cluster
+        from watermark_detector_spark.operators.dedup import dedup_drops_best
+
+        dups = dedup_drops_best(
+            exact.withColumn("_q", F.length("text")), pairs,
+            quality_col="_q")
+    elif near_keep == "min_id":
+        dups = dedup_keepers(pairs).where(F.col("is_duplicate")) \
+            .select(F.col("node").alias("doc_id"))
+    else:
+        raise ValueError(
+            f"near_keep must be 'min_id' or 'best', got {near_keep!r}")
     curated = exact.join(dups, "doc_id", "left_anti") \
         .drop("_lang", "_quality", "_n_tokens")
     if holdout is not None:
@@ -221,8 +247,33 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         flagged = contaminated_ids(curated, holdout).select("doc_id").persist()
         n_flagged = flagged.count()
         curated = curated.join(flagged, "doc_id", "left_anti")
+    if dsir_target is not None and dsir_k:
+        # DSIR selection: importance-weight survivors toward the target
+        # corpus, keep a Gumbel top-k draw ∝ exp(log_w). Deterministic
+        # (pure md5), so re-runs select the same k docs.
+        from watermark_detector_spark.operators.sampling import (
+            dsir_log_weights,
+            importance_resample,
+        )
+
+        pre_dsir = curated.persist()  # weighed AND semi-joined below
+        n_pre_dsir = pre_dsir.count()
+        w = dsir_log_weights(pre_dsir, dsir_target)
+        sel = importance_resample(w, dsir_k).select("doc_id")
+        curated = pre_dsir.join(sel, "doc_id")
     if out is not None:
-        curated.write.mode("overwrite").parquet(out)
+        if shard_size:
+            # training-export layout: md5-permute + dense ids + fixed
+            # shards; each output partition is one contiguous slice of
+            # the global permutation
+            from watermark_detector_spark.operators.ids import shard_assign
+
+            (shard_assign(curated, shard_size)
+             .repartition("shard_id")
+             .write.mode("overwrite")
+             .partitionBy("shard_id").parquet(out))
+        else:
+            curated.write.mode("overwrite").parquet(out)
         curated = spark.read.parquet(out)
     else:
         curated = curated.localCheckpoint(eager=True)
@@ -230,11 +281,18 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
     if holdout is not None:
         flagged.unpersist()
     final = curated.count()
+    dsir_on = dsir_target is not None and dsir_k
+    post_decon = n_pre_dsir if dsir_on else final
     if holdout is not None:
-        stats["after_near_dedup"] = final + n_flagged
+        stats["after_near_dedup"] = post_decon + n_flagged
         stats["decontaminated"] = n_flagged
     else:
-        stats["after_near_dedup"] = final
+        stats["after_near_dedup"] = post_decon
+    if dsir_on:
+        stats["after_dsir"] = final
+        pre_dsir.unpersist()
+    if out is not None and shard_size:
+        stats["n_shards"] = curated.select("shard_id").distinct().count()
     stats["dropped_total"] = stats["input"] - final
     return curated, stats
 
@@ -272,6 +330,17 @@ def main() -> None:  # pragma: no cover - CLI wrapper
                          "fit on the gated corpus exceeds this")
     ap.add_argument("--lm-vocab", type=int, default=4096,
                     help="vocabulary size for the --lm-nll-max LM")
+    ap.add_argument("--keep-best", action="store_true",
+                    help="near-dedup keeps the longest cluster member "
+                         "instead of the smallest doc_id")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of target-domain docs (doc_id, text); "
+                         "enables DSIR importance resampling toward it")
+    ap.add_argument("--dsir-k", type=int, default=None,
+                    help="number of docs the DSIR stage keeps")
+    ap.add_argument("--shard-size", type=int, default=None,
+                    help="write fixed-size training shards (md5 "
+                         "permutation + dense seq_id + partitionBy)")
     args = ap.parse_args()
 
     from watermark_detector_spark.session import get_spark
@@ -289,6 +358,10 @@ def main() -> None:  # pragma: no cover - CLI wrapper
         doc_gates=args.doc_gates,
         span_dedup_n=args.span_dedup_n,
         lm_nll_max=args.lm_nll_max, lm_vocab=args.lm_vocab,
+        near_keep="best" if args.keep_best else "min_id",
+        dsir_target=(spark.read.parquet(args.dsir_target)
+                     if args.dsir_target else None),
+        dsir_k=args.dsir_k, shard_size=args.shard_size,
     )
     print(json.dumps({"out": args.out, **stats}))
     spark.stop()

@@ -129,3 +129,52 @@ def test_shard_assign_exact_sizes_and_determinism(spark):
     assert (m["shard_id_a"] == m["shard_id_b"]).all()
     with pytest.raises(ValueError, match="shard_size"):
         shard_assign(docs, 0)
+
+
+def test_curate_keep_best_dsir_and_shards(spark, tmp_path):
+    """curate() with near_keep='best', a DSIR target and sharded
+    output: the LONGEST near-dup member survives, the DSIR stage cuts
+    to k docs biased toward the target, and the written corpus carries
+    dense seq_id + shard_id."""
+    from jobs.curate import curate
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs through the green field near the old barn "
+            "while the farmer watches the sky and the clouds drift")
+    rows = [(1, base, "src0"),
+            # near dup of 1, LONGER -> keep-best keeps 2, drops 1
+            (2, base + " and the evening settles over the quiet farm",
+             "src0")]
+    # docs 3..22: mutually DISTINCT vocab (every 3-gram contains a
+    # doc-unique token, so no cross-doc near-dup pairs), English-gated
+    # via the interleaved "the"
+    rows += [
+        (i, " ".join("the w%dx%d y%dz%d" % (i, j, i, j)
+                     for j in range(8)), "src1")
+        for i in range(3, 23)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    target = docs.where("doc_id >= 3 and doc_id < 8")
+    out = str(tmp_path / "curated")
+    curated, stats = curate(
+        spark, docs, jaccard=0.5, near_keep="best",
+        dsir_target=target, dsir_k=10, shard_size=4, out=out,
+    )
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert 2 not in kept or 1 not in kept  # the near-dup pair collapsed
+    assert stats["after_near_dedup"] == 21
+    assert stats["after_dsir"] == 10 and len(kept) == 10
+    assert stats["n_shards"] == 3  # ceil(10 / 4)
+    got = curated.select("seq_id", "shard_id").toPandas()
+    assert sorted(got["seq_id"]) == list(range(10))
+    assert set(got["shard_id"].astype(int)) == {0, 1, 2}
+
+
+def test_curate_rejects_bad_near_keep(spark):
+    from jobs.curate import curate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="near_keep"):
+        curate(spark, docs, near_keep="typo")

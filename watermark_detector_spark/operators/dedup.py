@@ -601,3 +601,31 @@ def cluster_representatives(docs: DataFrame, pairs: DataFrame,
         )
     )
     return reps.unionByName(singles)
+
+
+def dedup_drops_best(docs: DataFrame, pairs: DataFrame,
+                     quality_col: str = "n_chars",
+                     id_col: str = "doc_id",
+                     id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """The ids to DROP under the keep-best policy: every clustered doc
+    except its cluster's argmax-``quality_col`` member (ties → min id).
+    One dedup_clusters run + one quality join + one max_by agg —
+    the anti-join-ready complement of cluster_representatives (which
+    re-runs CC; use this one inside pipelines)."""
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    q = docs.select(F.col(id_col), F.col(quality_col))
+    lab = (
+        clusters.join(q, clusters["node"] == q[id_col])
+        .select("node", "cluster_id", quality_col)
+    )
+    keep = lab.groupBy("cluster_id").agg(
+        F.max_by(
+            "node",
+            F.struct(F.col(quality_col), (-F.col("node")).alias("_nid")),
+        ).alias("_keeper")
+    )
+    return (
+        lab.join(keep, "cluster_id")
+        .where(F.col("node") != F.col("_keeper"))
+        .select(F.col("node").alias(id_col))
+    )
