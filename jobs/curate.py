@@ -247,6 +247,11 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         flagged = contaminated_ids(curated, holdout).select("doc_id").persist()
         n_flagged = flagged.count()
         curated = curated.join(flagged, "doc_id", "left_anti")
+    if (dsir_target is None) != (not dsir_k):
+        raise ValueError(
+            "dsir_target and dsir_k must be given together "
+            f"(got target={'set' if dsir_target is not None else None}, "
+            f"k={dsir_k!r})")
     if dsir_target is not None and dsir_k:
         # DSIR selection: importance-weight survivors toward the target
         # corpus, keep a Gumbel top-k draw ∝ exp(log_w). Deterministic
@@ -265,13 +270,22 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         if shard_size:
             # training-export layout: md5-permute + dense ids + fixed
             # shards; each output partition is one contiguous slice of
-            # the global permutation
+            # the global permutation, sorted by seq_id so two runs
+            # write byte-identical shard files (repartition alone
+            # leaves shuffle-fetch order nondeterministic)
             from watermark_detector_spark.operators.ids import shard_assign
 
-            (shard_assign(curated, shard_size)
-             .repartition("shard_id")
-             .write.mode("overwrite")
-             .partitionBy("shard_id").parquet(out))
+            sharded = shard_assign(curated, shard_size)
+            if sharded.isEmpty():
+                # partitionBy on an empty frame writes no data file and
+                # the read-back below cannot infer a schema — write a
+                # plain (schema-carrying) empty parquet instead
+                sharded.write.mode("overwrite").parquet(out)
+            else:
+                (sharded.repartition("shard_id")
+                 .sortWithinPartitions("seq_id")
+                 .write.mode("overwrite")
+                 .partitionBy("shard_id").parquet(out))
         else:
             curated.write.mode("overwrite").parquet(out)
         curated = spark.read.parquet(out)
@@ -292,7 +306,8 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         stats["after_dsir"] = final
         pre_dsir.unpersist()
     if out is not None and shard_size:
-        stats["n_shards"] = curated.select("shard_id").distinct().count()
+        # seq_id is dense 0..final-1 by construction — no extra scan
+        stats["n_shards"] = -(-final // shard_size)
     stats["dropped_total"] = stats["input"] - final
     return curated, stats
 

@@ -178,3 +178,14 @@ def test_curate_rejects_bad_near_keep(spark):
         [(1, "a b c", "s")], "doc_id long, text string, source string")
     with pytest.raises(ValueError, match="near_keep"):
         curate(spark, docs, near_keep="typo")
+
+
+def test_curate_dsir_params_must_pair(spark):
+    from jobs.curate import curate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="dsir"):
+        curate(spark, docs, dsir_target=docs)  # k missing
+    with pytest.raises(ValueError, match="dsir"):
+        curate(spark, docs, dsir_k=5)  # target missing

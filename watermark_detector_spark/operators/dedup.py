@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -553,6 +553,27 @@ def exact_span_dedup(docs: DataFrame, n: int = 3, line_delim: str = "\n",
     return rebuilt
 
 
+def _labeled_members(clusters: DataFrame, docs: DataFrame,
+                     quality_col: str, id_col: str) -> DataFrame:
+    """(node, cluster_id, quality) for every clustered doc."""
+    q = docs.select(F.col(id_col), F.col(quality_col))
+    return (
+        clusters.join(q, clusters["node"] == q[id_col])
+        .select("node", "cluster_id", quality_col)
+    )
+
+
+def _argmax_quality(quality_col: str) -> Column:
+    """THE keep-best keeper rule: highest quality, ties → smallest id.
+    Single definition — cluster_representatives and dedup_drops_best
+    must select the same keeper or a pipeline's kept and dropped sets
+    desynchronize."""
+    return F.max_by(
+        "node",
+        F.struct(F.col(quality_col), (-F.col("node")).alias("_nid")),
+    )
+
+
 def cluster_representatives(docs: DataFrame, pairs: DataFrame,
                             quality_col: str = "n_chars",
                             id_col: str = "doc_id",
@@ -576,21 +597,15 @@ def cluster_representatives(docs: DataFrame, pairs: DataFrame,
     row_number() window here would re-sort every cluster). Singletons
     are a LEFT ANTI against the (small) clustered-node set."""
     clusters = dedup_clusters(pairs, id_a, id_b)
-    q = docs.select(F.col(id_col), F.col(quality_col))
-    labeled = (
-        clusters.join(q, clusters["node"] == q[id_col])
-        .select("node", "cluster_id", quality_col)
-    )
+    labeled = _labeled_members(clusters, docs, quality_col, id_col)
     reps = labeled.groupBy("cluster_id").agg(
-        F.max_by(
-            "node",
-            F.struct(F.col(quality_col), (-F.col("node")).alias("_nid")),
-        ).alias("keeper_id"),
+        _argmax_quality(quality_col).alias("keeper_id"),
         F.count(F.lit(1)).alias("cluster_size"),
         F.max(quality_col).alias("keeper_quality"),
     )
     singles = (
-        q.join(
+        docs.select(F.col(id_col), F.col(quality_col))
+        .join(
             clusters.select(F.col("node").alias(id_col)), id_col, "left_anti"
         )
         .select(
@@ -613,16 +628,9 @@ def dedup_drops_best(docs: DataFrame, pairs: DataFrame,
     the anti-join-ready complement of cluster_representatives (which
     re-runs CC; use this one inside pipelines)."""
     clusters = dedup_clusters(pairs, id_a, id_b)
-    q = docs.select(F.col(id_col), F.col(quality_col))
-    lab = (
-        clusters.join(q, clusters["node"] == q[id_col])
-        .select("node", "cluster_id", quality_col)
-    )
+    lab = _labeled_members(clusters, docs, quality_col, id_col)
     keep = lab.groupBy("cluster_id").agg(
-        F.max_by(
-            "node",
-            F.struct(F.col(quality_col), (-F.col("node")).alias("_nid")),
-        ).alias("_keeper")
+        _argmax_quality(quality_col).alias("_keeper")
     )
     return (
         lab.join(keep, "cluster_id")

@@ -97,14 +97,26 @@ def assign_contiguous_ids(
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one call per partition; Arrow batches arrive in the
         # partition's sorted order, so a running counter is the local
-        # row index
+        # row index. The partition id comes from the TASK (not the
+        # data), so even a partition that re-executes to ZERO rows is
+        # checked against its count-pass tally below.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else None
         local = 0
-        pid = None
         for b in batches:
             if len(b) == 0:
                 continue
-            pid = int(b["__pid"].iloc[0])
-            base = offsets[pid]
+            if pid is None:  # defensive: no TaskContext (local iterator)
+                pid = int(b["__pid"].iloc[0])
+            base = offsets.get(pid)
+            if base is None:
+                raise RuntimeError(
+                    f"assign_contiguous_ids: partition {pid} has rows "
+                    "in the assign pass but was empty in the count "
+                    "pass — upstream lineage is not deterministic; "
+                    "persist() the input and retry")
             out = b[cols].copy()
             out[id_name] = range(base + local, base + local + len(b))
             local += len(b)
@@ -113,11 +125,11 @@ def assign_contiguous_ids(
         # if the second execution landed a different row count in this
         # partition (nondeterministic upstream, e.g. an unseeded
         # sample), ids would silently collide/gap — fail loudly instead
-        if pid is not None and local != counts.get(pid):
+        if pid is not None and local != counts.get(pid, 0):
             raise RuntimeError(
                 f"assign_contiguous_ids: partition {pid} held "
-                f"{counts.get(pid)} rows in the count pass but {local} "
-                "in the assign pass — upstream lineage is not "
+                f"{counts.get(pid, 0)} rows in the count pass but "
+                f"{local} in the assign pass — upstream lineage is not "
                 "deterministic; persist() the input and retry")
 
     # pass 2 re-sorts the same ranged distribution (the exchange is
@@ -133,9 +145,12 @@ def bottomk_sample(
     smallest md5(seed || key) values — the distributed "bottom-k by
     random hash" equivalent of reservoir sampling (every key equally
     likely, no RNG state, re-runs and other engines select the SAME
-    rows). Plans as TakeOrderedAndProject: per-partition top-k heaps
-    merged on the driver, no global sort Exchange — k rows cross the
-    wire per partition, nothing else."""
+    rows). ``key_col`` must be unique: duplicate keys share one md5
+    priority, and if that value straddles the k-th position the
+    tie-break among the duplicates is arbitrary (run- and
+    engine-dependent). Plans as TakeOrderedAndProject: per-partition
+    top-k heaps merged on the driver, no global sort Exchange — k rows
+    cross the wire per partition, nothing else."""
     if k < 1:
         raise ValueError("k must be >= 1")
     pri = F.md5(F.concat(F.lit(seed), F.lit(":"),
