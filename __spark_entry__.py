@@ -2148,6 +2148,24 @@ def _q111_shard_manifest(spark, sf: str) -> DataFrame:
     )
 
 
+def _q112_incremental_dedup(spark, sf: str) -> DataFrame:
+    """Incremental-ingestion near-dup check (operators/dedup
+    .incremental_near_dups): the arriving batch (doc_id % 5 == 0) is
+    flagged against the standing corpus (the rest) via the banded
+    minhash index + exact Jaccard confirm on candidates only — the
+    corpus is LEFT SEMI-cut to candidate old docs before shingling, so
+    confirm cost tracks the match set, not the 10^12-doc corpus. The
+    oracle replays bands + cross-set candidate join + Jaccard."""
+    from watermark_detector_spark.operators.dedup import incremental_near_dups
+
+    d = _t(spark, sf, "documents")
+    return incremental_near_dups(
+        d.where(F.col("doc_id") % 5 == 0),
+        d.where(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
+
+
 def _q106_sink_stream(spark, sf: str) -> DataFrame:
     """Tail the exactly-once sink as a STREAMING SOURCE (Delta/Iceberg
     streaming-read analog, sources/sink_stream): the q86 staged table
@@ -2250,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_dsir_resample": _q109_dsir_resample,
         "q110_dedup_keep_best": _q110_dedup_keep_best,
         "q111_shard_manifest": _q111_shard_manifest,
+        "q112_incremental_dedup": _q112_incremental_dedup,
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
@@ -3313,6 +3332,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, doc_id, CAST(1 AS BIGINT), n_chars
             FROM documents WHERE doc_id NOT IN (SELECT node FROM cc)
+        """,
+        # q112: cross-set LSH candidates (new % 5 == 0 vs corpus) +
+        # exact Jaccard confirm, same band/minhash family as q59
+        "q112_incremental_dedup": f"""
+            WITH {_SHINGLES_CTE},
+            bnd AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
+            sig AS (SELECT doc_id, band,
+                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                    FROM bnd GROUP BY doc_id, band),
+            cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                     FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                     WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT c.new_id, c.old_id, count(*) AS i
+                      FROM cand c JOIN sh sa ON sa.doc_id = c.new_id
+                                  JOIN sh sb ON sb.doc_id = c.old_id
+                                            AND sb.shingle = sa.shingle
+                      GROUP BY 1, 2)
+            SELECT new_id, old_id AS dup_of,
+                   round(1.0 * i / (x.n + y.n - i), 4) AS jaccard
+            FROM inter JOIN sizes x ON new_id = x.doc_id
+                       JOIN sizes y ON old_id = y.doc_id
+            WHERE round(1.0 * i / (x.n + y.n - i), 4) >= 0.5
         """,
         # q111: the shard layout replayed with one ROW_NUMBER — the
         # single-reducer shape the distributed operator avoids

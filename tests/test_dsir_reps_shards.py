@@ -189,3 +189,42 @@ def test_curate_dsir_params_must_pair(spark):
         curate(spark, docs, dsir_target=docs)  # k missing
     with pytest.raises(ValueError, match="dsir"):
         curate(spark, docs, dsir_k=5)  # target missing
+
+
+def test_incremental_near_dups_vs_batch(spark):
+    """Incremental dedup of a new batch against the standing corpus
+    finds exactly the cross-set pairs the full batch run finds, and
+    never reports new-vs-new or old-vs-old pairs."""
+    from watermark_detector_spark.operators.dedup import (
+        incremental_near_dups,
+        near_dup_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs through the green field near the old barn")
+    rows = [
+        (1, base),                                  # corpus
+        (2, "a completely different story about ships and the open "
+            "sea where the sailors watch the horizon all night"),
+        (3, base + " at dusk"),                     # new: near-dups 1
+        (4, "the mountain stands alone above the frozen lake while "
+            "the wind carves deep lines into the ancient ice"),  # new: clean
+        (5, base + " at dawn"),                     # new: near-dups 1 (and 3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where("doc_id <= 2")
+    new = docs.where("doc_id >= 3")
+    inc = incremental_near_dups(new, corpus, threshold=0.5).collect()
+    got = {(r["new_id"], r["dup_of"]) for r in inc}
+    assert got == {(3, 1), (5, 1)}
+    # cross-check against the full-batch operator restricted to
+    # cross-set pairs (id_a < id_b puts the old doc first)
+    full = near_dup_pairs(docs, threshold=0.5).collect()
+    cross = {(r["id_b"], r["id_a"]) for r in full
+             if r["id_a"] <= 2 and r["id_b"] >= 3}
+    assert got == cross
+    # jaccard values match the batch computation
+    jz = {(r["new_id"], r["dup_of"]): r["jaccard"] for r in inc}
+    jf = {(r["id_b"], r["id_a"]): r["jaccard"] for r in full
+          if (r["id_b"], r["id_a"]) in jz}
+    assert jz == jf

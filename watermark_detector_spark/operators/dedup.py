@@ -637,3 +637,67 @@ def dedup_drops_best(docs: DataFrame, pairs: DataFrame,
         .where(F.col("node") != F.col("_keeper"))
         .select(F.col("node").alias(id_col))
     )
+
+
+def incremental_near_dups(new_docs: DataFrame, corpus: DataFrame,
+                          threshold: float = 0.5, n_bands: int = 4,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n: int = 3) -> DataFrame:
+    """Incremental-ingestion dedup: flag NEW docs that near-duplicate
+    the EXISTING corpus — without re-clustering the world. This is the
+    production shape at 10^12 docs: each arriving crawl batch is
+    checked against the standing corpus index; only the batch is
+    re-processed, never the corpus.
+
+    Candidates come from joining the batch's banded minhash signatures
+    against the corpus signature table on (band, minhash) — in
+    production that right side is PRECOMPUTED and maintained
+    incrementally (it is exactly ``minhash_signatures(corpus)``, a few
+    rows per doc); here it is derived inline so the operator is
+    self-contained. The exact Jaccard confirm then touches only
+    candidate old docs: the corpus is LEFT SEMI-cut to candidates
+    before shingling, so confirm cost is proportional to the match
+    set, not the corpus. Returns (new_id, dup_of, jaccard) — one row
+    per confirmed (new, old) pair at or above ``threshold``.
+
+    New-vs-new duplicates inside the batch are a separate (small)
+    problem: run ``near_dup_pairs(new_docs)`` on the batch itself.
+    """
+    new_sig = minhash_signatures(new_docs, n_bands, id_col, text_col, n)
+    idx = minhash_signatures(corpus, n_bands, id_col, text_col, n)
+    cand = (
+        new_sig.select(F.col(id_col).alias("new_id"), "band", "minhash")
+        .join(
+            idx.select(F.col(id_col).alias("old_id"), "band", "minhash"),
+            ["band", "minhash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    old_cut = corpus.join(
+        cand.select(F.col("old_id").alias(id_col)).distinct(),
+        id_col, "left_semi",
+    )
+    sized_new = shingles(new_docs, id_col, text_col, n).withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+    sized_old = shingles(old_cut, id_col, text_col, n).withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+    sa = sized_new.select(F.col(id_col).alias("new_id"), "shingle",
+                          F.col("n_sh").alias("n_a"))
+    sb = sized_old.select(F.col(id_col).alias("old_id"), "shingle",
+                          F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, ["old_id", "shingle"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
+        .select(
+            "new_id", F.col("old_id").alias("dup_of"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
