@@ -17,12 +17,15 @@ operators:
   6. exact dedup  md5 fingerprint keeper per group    (short-key shuffle)
   7. near dedup   MinHash-LSH candidates → Jaccard on candidates →
                   connected components → keeper anti-join
-  8. decontaminate  (--holdout) drop docs sharing any winnowing
+  8. corpus dedup  (--dedup-against) incremental-ingestion check: drop
+                batch docs near-dupping the standing corpus (banded
+                minhash index + Jaccard confirm on candidates only)
+  9. decontaminate  (--holdout) drop docs sharing any winnowing
                 fingerprint with the holdout/eval corpus
-  9. dsir       (--dsir-target/--dsir-k) DSIR importance resampling:
+ 10. dsir       (--dsir-target/--dsir-k) DSIR importance resampling:
                 keep k docs ∝ exp(hashed-bigram log-importance toward
                 the target corpus), Gumbel top-k, fully deterministic
- 10. write      curated parquet + one JSON line of funnel stats; with
+ 11. write      curated parquet + one JSON line of funnel stats; with
                 --shard-size, fixed-size training shards instead
                 (md5 permutation, dense seq_id, partitionBy shard)
 
@@ -60,7 +63,8 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
            doc_gates: bool = False, span_dedup_n: int | None = None,
            lm_nll_max: float | None = None, lm_vocab: int = 4096,
            near_keep: str = "min_id", dsir_target=None,
-           dsir_k: int | None = None, shard_size: int | None = None):
+           dsir_k: int | None = None, shard_size: int | None = None,
+           dedup_against=None):
     """(curated DataFrame, funnel stats dict). Deterministic keeper
     rule at every stage: min doc_id survives — unless
     ``near_keep="best"``, which keeps the longest member of each
@@ -236,6 +240,21 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
             f"near_keep must be 'min_id' or 'best', got {near_keep!r}")
     curated = exact.join(dups, "doc_id", "left_anti") \
         .drop("_lang", "_quality", "_n_tokens")
+    if dedup_against is not None:
+        # incremental-ingestion dedup: drop batch docs near-dupping the
+        # STANDING corpus (its signature index derived inline here; at
+        # production scale it is precomputed and maintained)
+        from watermark_detector_spark.operators.dedup import (
+            incremental_near_dups,
+        )
+
+        hit = (incremental_near_dups(curated, dedup_against,
+                                     threshold=jaccard)
+               .select(F.col("new_id").alias("doc_id")).distinct()
+               .persist())
+        n_corpus_dups = hit.count()
+        curated = curated.join(hit, "doc_id", "left_anti")
+        stats["corpus_dups_dropped"] = n_corpus_dups
     if holdout is not None:
         # eval-set leakage gate: winnowing-fp semi-join (any shared
         # >=6-token run is caught), then anti-join on the flagged ids
@@ -294,14 +313,19 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
     exact.unpersist()
     if holdout is not None:
         flagged.unpersist()
+    if dedup_against is not None:
+        hit.unpersist()
     final = curated.count()
     dsir_on = dsir_target is not None and dsir_k
     post_decon = n_pre_dsir if dsir_on else final
+    # after_near_dedup = the count right after the BATCH near-dedup,
+    # i.e. before the corpus-dup, holdout and dsir drops
+    post_near = post_decon + (
+        n_corpus_dups if dedup_against is not None else 0)
     if holdout is not None:
-        stats["after_near_dedup"] = post_decon + n_flagged
+        post_near += n_flagged
         stats["decontaminated"] = n_flagged
-    else:
-        stats["after_near_dedup"] = post_decon
+    stats["after_near_dedup"] = post_near
     if dsir_on:
         stats["after_dsir"] = final
         pre_dsir.unpersist()
@@ -356,6 +380,10 @@ def main() -> None:  # pragma: no cover - CLI wrapper
     ap.add_argument("--shard-size", type=int, default=None,
                     help="write fixed-size training shards (md5 "
                          "permutation + dense seq_id + partitionBy)")
+    ap.add_argument("--dedup-against", default=None,
+                    help="parquet of the standing corpus (doc_id, "
+                         "text); batch docs near-dupping it are "
+                         "dropped (incremental-ingestion dedup)")
     args = ap.parse_args()
 
     from watermark_detector_spark.session import get_spark
@@ -377,6 +405,8 @@ def main() -> None:  # pragma: no cover - CLI wrapper
         dsir_target=(spark.read.parquet(args.dsir_target)
                      if args.dsir_target else None),
         dsir_k=args.dsir_k, shard_size=args.shard_size,
+        dedup_against=(spark.read.parquet(args.dedup_against)
+                       if args.dedup_against else None),
     )
     print(json.dumps({"out": args.out, **stats}))
     spark.stop()

@@ -228,3 +228,27 @@ def test_incremental_near_dups_vs_batch(spark):
     jf = {(r["id_b"], r["id_a"]): r["jaccard"] for r in full
           if (r["id_b"], r["id_a"]) in jz}
     assert jz == jf
+
+
+def test_curate_dedup_against_standing_corpus(spark):
+    """curate(dedup_against=...): batch docs near-dupping the standing
+    corpus are dropped and counted; unrelated docs survive."""
+    from jobs.curate import curate
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs through the green field near the old barn "
+            "while the farmer watches the sky and the clouds drift")
+    corpus = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, base + " at dusk"),  # near-dups corpus doc 100
+         (2, ("the river flows past the village where the miller "
+              "grinds the corn and the children play by the water "
+              "under the bridge while the birds sing in the trees"))],
+        "doc_id long, text string")
+    batch = batch.withColumn("source", F.lit("s"))
+    curated, stats = curate(spark, batch, dedup_against=corpus)
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert kept == [2]
+    assert stats["corpus_dups_dropped"] == 1
+    assert stats["after_near_dedup"] == 2  # both survived BATCH dedup
