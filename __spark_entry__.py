@@ -2166,6 +2166,25 @@ def _q112_incremental_dedup(spark, sf: str) -> DataFrame:
     )
 
 
+def _q113_group_split(spark, sf: str) -> DataFrame:
+    """Leakage-proof GROUP-aware train/val/test split: hash_split keyed
+    on the GROUP (source domain), not the row — every doc of a domain
+    lands in one split, so near-identical pages from one site can never
+    straddle train/test (the split-leakage failure mode row-hashing
+    invites). Zero shuffle for the assignment itself; the output here
+    aggregates to per-(source, split) counts, whose GROUPS-per-source
+    is 1 by construction. Oracle replays the md5 bucket thresholds."""
+    from watermark_detector_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf, "documents")
+    return (
+        hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1},
+                   key_col="source")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q106_sink_stream(spark, sf: str) -> DataFrame:
     """Tail the exactly-once sink as a STREAMING SOURCE (Delta/Iceberg
     streaming-read analog, sources/sink_stream): the q86 staged table
@@ -2269,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_dedup_keep_best": _q110_dedup_keep_best,
         "q111_shard_manifest": _q111_shard_manifest,
         "q112_incremental_dedup": _q112_incremental_dedup,
+        "q113_group_split": _q113_group_split,
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
@@ -3355,6 +3375,23 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes x ON new_id = x.doc_id
                        JOIN sizes y ON old_id = y.doc_id
             WHERE round(1.0 * i / (x.n + y.n - i), 4) >= 0.5
+        """,
+        # q113: group-keyed split replay — same md5-bucket thresholds
+        # as q76, keyed on source so groups never straddle splits
+        "q113_group_split": """
+            WITH b AS (
+              SELECT source,
+                     CAST(('0x' || substring(md5(source), 1, 8))
+                          AS BIGINT) % 10000 AS bucket
+              FROM documents),
+            s AS (
+              SELECT source,
+                     CASE WHEN bucket < 8000 THEN 'train'
+                          WHEN bucket < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM b)
+            SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+            FROM s GROUP BY source, split
         """,
         # q111: the shard layout replayed with one ROW_NUMBER — the
         # single-reducer shape the distributed operator avoids

@@ -252,3 +252,21 @@ def test_curate_dedup_against_standing_corpus(spark):
     assert kept == [2]
     assert stats["corpus_dups_dropped"] == 1
     assert stats["after_near_dedup"] == 2  # both survived BATCH dedup
+
+
+def test_group_split_never_straddles(spark):
+    """hash_split keyed on the GROUP: every group lands wholly in one
+    split (the leakage-proof property q113 demonstrates)."""
+    from watermark_detector_spark.operators.sampling import hash_split
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("site"), (F.col("id") % 37).cast("string"))
+        .alias("source"),
+    )
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     key_col="source")
+    per_group = (out.groupBy("source")
+                 .agg(F.countDistinct("split").alias("n"))
+                 .agg(F.max("n")).collect()[0][0])
+    assert per_group == 1
