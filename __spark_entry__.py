@@ -2185,6 +2185,34 @@ def _q113_group_split(spark, sf: str) -> DataFrame:
     )
 
 
+def _q114_trailing_range_window(spark, sf: str) -> DataFrame:
+    """Trailing-interval RANGE-frame window: per user, count and sum of
+    value over the last 10 minutes INCLUDING the current event — the
+    per-entity rolling rate/exposure feature (rate limiting, velocity
+    checks) that ROWS frames cannot express (the lookback is
+    time-based, not row-count-based). RANGE frames include ORDER-BY
+    peers, so second-granularity ties are frame-identical on both
+    engines. Plan: ONE Exchange on user_id + sort, frame evaluated with
+    a sliding two-pointer pass — the canonical keyed-window shape.
+    Epoch seconds via timestampdiff (parquet ts is TIMESTAMP_NTZ;
+    unix_timestamp/unix_micros reject it)."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf, "events").withColumn(
+        "_sec",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
+    )
+    w = (W.partitionBy("user_id").orderBy("_sec")
+         .rangeBetween(-600, W.currentRow))
+    return d.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.round(F.sum("value").over(w), 4).alias("sum_10m"),
+    )
+
+
 def _q106_sink_stream(spark, sf: str) -> DataFrame:
     """Tail the exactly-once sink as a STREAMING SOURCE (Delta/Iceberg
     streaming-read analog, sources/sink_stream): the q86 staged table
@@ -2289,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_shard_manifest": _q111_shard_manifest,
         "q112_incremental_dedup": _q112_incremental_dedup,
         "q113_group_split": _q113_group_split,
+        "q114_trailing_range_window": _q114_trailing_range_window,
         "q89_semantic_dedup": _q89_semantic_dedup,
         "q90_sequence_alternation": _q90_sequence_alternation,
         "q91_stream_sequence_alternation": _q91_stream_sequence_alternation,
@@ -3375,6 +3404,18 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes x ON new_id = x.doc_id
                        JOIN sizes y ON old_id = y.doc_id
             WHERE round(1.0 * i / (x.n + y.n - i), 4) >= 0.5
+        """,
+        # q114: same integer-seconds RANGE frame; RANGE includes
+        # ORDER-BY peers on both engines, so ties are frame-identical
+        "q114_trailing_range_window": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_10m,
+                   round(sum(value) OVER w, 4) AS sum_10m
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id
+              ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
+              RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         """,
         # q113: group-keyed split replay — same md5-bucket thresholds
         # as q76, keyed on source so groups never straddle splits
