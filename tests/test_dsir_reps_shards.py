@@ -270,3 +270,16 @@ def test_group_split_never_straddles(spark):
                  .agg(F.countDistinct("split").alias("n"))
                  .agg(F.max("n")).collect()[0][0])
     assert per_group == 1
+
+
+def test_trailing_range_window_single_exchange(spark):
+    """q114's RANGE-frame window plans ONE hash Exchange on the key —
+    the frame is evaluated per partition with a sliding pointer, never
+    a second shuffle."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q114_trailing_range_window"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
