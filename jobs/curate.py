@@ -81,6 +81,17 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
     to ``out`` and read back when a path is given (the production
     shape: counts come from the sink, never a second pipeline run), or
     localCheckpoint'ed at fixture scale."""
+    # argument validation BEFORE any Spark job runs — a bad combo must
+    # not cost a full pipeline execution first
+    if near_keep not in ("min_id", "best"):
+        raise ValueError(
+            f"near_keep must be 'min_id' or 'best', got {near_keep!r}")
+    if (dsir_target is None) != (not dsir_k):
+        raise ValueError(
+            "dsir_target and dsir_k must be given together "
+            f"(got target={'set' if dsir_target is not None else None}, "
+            f"k={dsir_k!r})")
+
     from watermark_detector_spark.functions.text import (
         fingerprint,
         lang_guess,
@@ -232,12 +243,9 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         dups = dedup_drops_best(
             exact.withColumn("_q", F.length("text")), pairs,
             quality_col="_q")
-    elif near_keep == "min_id":
+    else:  # "min_id" (validated at entry)
         dups = dedup_keepers(pairs).where(F.col("is_duplicate")) \
             .select(F.col("node").alias("doc_id"))
-    else:
-        raise ValueError(
-            f"near_keep must be 'min_id' or 'best', got {near_keep!r}")
     curated = exact.join(dups, "doc_id", "left_anti") \
         .drop("_lang", "_quality", "_n_tokens")
     if dedup_against is not None:
@@ -266,11 +274,6 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         flagged = contaminated_ids(curated, holdout).select("doc_id").persist()
         n_flagged = flagged.count()
         curated = curated.join(flagged, "doc_id", "left_anti")
-    if (dsir_target is None) != (not dsir_k):
-        raise ValueError(
-            "dsir_target and dsir_k must be given together "
-            f"(got target={'set' if dsir_target is not None else None}, "
-            f"k={dsir_k!r})")
     if dsir_target is not None and dsir_k:
         # DSIR selection: importance-weight survivors toward the target
         # corpus, keep a Gumbel top-k draw ∝ exp(log_w). Deterministic

@@ -174,6 +174,46 @@ def minhash_lsh_candidates(df: DataFrame, n_bands: int = 4, id_col: str = "doc_i
     )
 
 
+def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
+                     a_key: str, b_key: str, threshold: float,
+                     id_col: str, text_col: str, n: int) -> DataFrame:
+    """THE exact-Jaccard-on-candidates confirm stage, shared by every
+    candidate-generating dedup path (near_dup_pairs,
+    incremental_near_dups) so the formula, rounding and threshold
+    semantics cannot silently diverge between them. Both doc sides are
+    LEFT SEMI-cut to the candidate ids BEFORE shingling — confirm cost
+    tracks the candidate set, never the corpus (the per-doc shingle
+    count is per-doc, so cutting does not change it). Returns
+    (a_key, b_key, jaccard) at or above ``threshold``."""
+
+    def _sized(docs: DataFrame, key: str):
+        cut = docs.join(
+            cand.select(F.col(key).alias(id_col)).distinct(),
+            id_col, "left_semi")
+        return shingles(cut, id_col, text_col, n).withColumn(
+            "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+
+    sa = _sized(a_docs, a_key).select(
+        F.col(id_col).alias(a_key), "shingle", F.col("n_sh").alias("n_a"))
+    sb = _sized(b_docs, b_key).select(
+        F.col(id_col).alias(b_key), "shingle", F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(sa, a_key)
+        .join(sb, [b_key, "shingle"])
+        .groupBy(a_key, b_key)
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
+        .select(
+            a_key, b_key,
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def near_dup_pairs(df: DataFrame, threshold: float = 0.5, n_bands: int = 4,
                    id_col: str = "doc_id", text_col: str = "text",
                    n: int = 3) -> DataFrame:
@@ -181,35 +221,16 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.5, n_bands: int = 4,
     then exact n-gram Jaccard computed ONLY on candidates.
 
     Composition of ``minhash_lsh_candidates`` (linear + one shuffle on
-    (band, minhash)) and the Jaccard scorer restricted to the candidate
-    set: intersection counts come from candidates ⋈ shingles(id_a) ⋈
-    shingles(id_b, same shingle) — work proportional to candidates ×
-    shingles-per-doc, never all-pairs. Same output contract as
-    ``jaccard_pairs`` wherever LSH recall is 1 (equivalence-tested);
-    LSH can only MISS pairs, never fabricate them, so precision is
-    exact by construction."""
+    (band, minhash)) and the shared ``_jaccard_confirm`` stage
+    restricted to the candidate set: intersection counts come from
+    candidates ⋈ shingles(id_a) ⋈ shingles(id_b, same shingle) — work
+    proportional to candidates × shingles-per-doc, never all-pairs.
+    Same output contract as ``jaccard_pairs`` wherever LSH recall is 1
+    (equivalence-tested); LSH can only MISS pairs, never fabricate
+    them, so precision is exact by construction."""
     cand = minhash_lsh_candidates(df, n_bands, id_col, text_col, n)
-    sized = shingles(df, id_col, text_col, n).withColumn(
-        "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col))
-    )
-    sa = sized.select(F.col(id_col).alias("id_a"), "shingle",
-                      F.col("n_sh").alias("n_a"))
-    sb = sized.select(F.col(id_col).alias("id_b"), "shingle",
-                      F.col("n_sh").alias("n_b"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"),
-             F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= F.lit(threshold))
-    )
+    return _jaccard_confirm(cand, df, df, "id_a", "id_b", threshold,
+                            id_col, text_col, n)
 
 
 def ordered_shingles(df: DataFrame, id_col: str = "doc_id",
@@ -654,11 +675,12 @@ def incremental_near_dups(new_docs: DataFrame, corpus: DataFrame,
     production that right side is PRECOMPUTED and maintained
     incrementally (it is exactly ``minhash_signatures(corpus)``, a few
     rows per doc); here it is derived inline so the operator is
-    self-contained. The exact Jaccard confirm then touches only
-    candidate old docs: the corpus is LEFT SEMI-cut to candidates
-    before shingling, so confirm cost is proportional to the match
-    set, not the corpus. Returns (new_id, dup_of, jaccard) — one row
-    per confirmed (new, old) pair at or above ``threshold``.
+    self-contained. The shared ``_jaccard_confirm`` stage then touches
+    only candidate docs on BOTH sides (each LEFT SEMI-cut to candidate
+    ids before shingling), so confirm cost is proportional to the
+    match set, not the batch or the corpus. Returns
+    (new_id, dup_of, jaccard) — one row per confirmed (new, old) pair
+    at or above ``threshold``.
 
     New-vs-new duplicates inside the batch are a separate (small)
     problem: run ``near_dup_pairs(new_docs)`` on the batch itself.
@@ -674,30 +696,7 @@ def incremental_near_dups(new_docs: DataFrame, corpus: DataFrame,
         .select("new_id", "old_id")
         .distinct()
     )
-    old_cut = corpus.join(
-        cand.select(F.col("old_id").alias(id_col)).distinct(),
-        id_col, "left_semi",
-    )
-    sized_new = shingles(new_docs, id_col, text_col, n).withColumn(
-        "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
-    sized_old = shingles(old_cut, id_col, text_col, n).withColumn(
-        "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
-    sa = sized_new.select(F.col(id_col).alias("new_id"), "shingle",
-                          F.col("n_sh").alias("n_a"))
-    sb = sized_old.select(F.col(id_col).alias("old_id"), "shingle",
-                          F.col("n_sh").alias("n_b"))
-    return (
-        cand.join(sa, "new_id")
-        .join(sb, ["old_id", "shingle"])
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"),
-             F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
-        .select(
-            "new_id", F.col("old_id").alias("dup_of"),
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= F.lit(threshold))
-    )
+    return _jaccard_confirm(
+        cand, new_docs, corpus, "new_id", "old_id", threshold,
+        id_col, text_col, n,
+    ).withColumnRenamed("old_id", "dup_of")
