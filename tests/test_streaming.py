@@ -1484,3 +1484,40 @@ def test_sink_read_changes_incremental(spark, tmp_path_factory):
     # post-compaction appends flow through incremental reads unchanged
     sink.write_batch(spark.range(50, 60).withColumnRenamed("id", "v"), 5)
     assert vals(sink.read_changes(spark, 4)) == list(range(50, 60))
+
+
+def test_sink_schema_evolution_merge_read(spark, tmp_path_factory):
+    """Additive schema evolution (Iceberg analog): batches written with
+    a widened schema union with older batches on merge_schema reads —
+    old rows surface NULL for the added column; a time-travel read at
+    or below the pre-evolution batch keeps the original schema; the
+    incremental read honors merge_schema too."""
+    from watermark_detector_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+    )
+
+    root = str(tmp_path_factory.mktemp("sink_evolve"))
+    sink = ExactlyOnceParquetSink(root, output_partitions=1)
+    old = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    sink.write_batch(old, 0)
+    widened = spark.range(5, 8).select(
+        F.col("id").alias("doc_id"), F.lit("de").alias("lang"),
+        (F.col("id") * 0.5).alias("score"))
+    sink.write_batch(widened, 1)
+
+    merged = sink.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"doc_id", "lang", "score"}
+    got = {r["doc_id"]: r["score"] for r in merged.collect()}
+    assert len(got) == 8
+    assert all(got[i] is None for i in range(5))      # old rows: NULL
+    assert got[6] == 3.0                              # new rows: value
+
+    # time-travel below the evolution point: original schema only
+    as_of0 = sink.read(spark, as_of_batch=0, merge_schema=True)
+    assert set(as_of0.columns) == {"doc_id", "lang"}
+
+    # incremental read across the evolution boundary
+    delta = sink.read_changes(spark, since_batch=0, merge_schema=True)
+    assert set(delta.columns) == {"doc_id", "lang", "score"}
+    assert delta.count() == 3

@@ -332,7 +332,8 @@ class ExactlyOnceParquetSink:
 
     def read(self, spark: SparkSession,
              as_of_batch: int | None = None,
-             as_of_timestamp: float | None = None) -> DataFrame:
+             as_of_timestamp: float | None = None,
+             merge_schema: bool = False) -> DataFrame:
         """Read the committed snapshot. With ``as_of_batch`` TIME-TRAVEL
         to the table as of that batch id (Iceberg snapshot-read analog;
         the manifest ledger IS the snapshot history): only batches with
@@ -349,7 +350,14 @@ class ExactlyOnceParquetSink:
         instant — commit times come from the manifest ledger and
         survive compaction via the range manifests' ``batch_commits`` —
         then follows the as_of_batch path (including its EXPIRED
-        semantics)."""
+        semantics).
+
+        ``merge_schema=True`` is the SCHEMA-EVOLUTION read (Iceberg's
+        additive evolution): batches written with a widened schema
+        (new columns) union with older batches, which surface NULL for
+        the added columns. Off by default — the merged-footer scan
+        reads every file's footer up front, a cost only evolved tables
+        should pay."""
         if as_of_timestamp is not None:
             if as_of_batch is not None:
                 raise ValueError(
@@ -369,7 +377,7 @@ class ExactlyOnceParquetSink:
             paths = self._data_paths()
             if not paths:
                 raise ValueError(f"no committed batches under {self.root}")
-            return spark.read.parquet(*paths)
+            return self._read_paths(spark, paths, merge_schema)
         fs = self.fs
         ranges, singles = self._manifest_state()
         paths = []
@@ -393,10 +401,19 @@ class ExactlyOnceParquetSink:
             raise ValueError(
                 f"no committed batches at or before {as_of_batch} "
                 f"under {self.root}")
-        return spark.read.parquet(*paths)
+        return self._read_paths(spark, paths, merge_schema)
+
+    @staticmethod
+    def _read_paths(spark: SparkSession, paths: list[str],
+                    merge_schema: bool) -> DataFrame:
+        r = spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*paths)
 
     def read_changes(self, spark: SparkSession, since_batch: int,
-                     as_of_batch: int | None = None) -> DataFrame:
+                     as_of_batch: int | None = None,
+                     merge_schema: bool = False) -> DataFrame:
         """INCREMENTAL read (Iceberg incremental append-scan analog):
         exactly the rows appended by committed batches with
         ``since_batch < id <= as_of_batch`` (default: the latest
@@ -425,7 +442,8 @@ class ExactlyOnceParquetSink:
             raise ValueError(
                 f"empty change window: since_batch={since_batch} >= "
                 f"as_of_batch={hi}")
-        return spark.read.parquet(*self.change_paths(since_batch, hi))
+        return self._read_paths(
+            spark, self.change_paths(since_batch, hi), merge_schema)
 
     def change_paths(self, since_batch: int, hi: int) -> list[str]:
         """Data directories holding exactly the rows appended by batches
