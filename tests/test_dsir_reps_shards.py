@@ -283,3 +283,12 @@ def test_trailing_range_window_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_dsir_ratio_join_is_broadcast(spark, corpus):
+    """The per-doc scoring join must broadcast the (≤n_buckets)-row
+    log-ratio table — the corpus-side (id, bucket) rows never shuffle
+    for the join itself (PLANS.md §q109)."""
+    w = dsir_log_weights(corpus, corpus.where(F.col("doc_id") < 10))
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
