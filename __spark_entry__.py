@@ -2257,6 +2257,69 @@ def _q104_sink_incremental(spark, sf: str) -> DataFrame:
     )
 
 
+_UPSERT_STAGE_CACHE: dict[str, str] = {}
+
+
+def _upsert_stage(spark, sf: str):
+    """Stage the documents table as an UPSERT ledger ONCE per
+    (session, sf): batch 0 inserts every doc, batch 1 UPDATES docs with
+    doc_id%3==0 (n_chars+1000), batch 2 DELETES docs with doc_id%7==0
+    (tombstones), batch 1 is REPLAYED (must be an exactly-once no-op or
+    the updated rows lose last-writer-wins), then the whole history is
+    merge-compacted (copy-on-write fold) and vacuumed so the read under
+    test is the materialized fast path."""
+    from watermark_detector_spark.streaming.sink import UpsertSink
+
+    key = f"{id(spark)}:{sf}"
+    if key not in _UPSERT_STAGE_CACHE:
+        os.makedirs(_TMP_ROOT, exist_ok=True)
+        root = tempfile.mkdtemp(prefix="wmd_sink_up_", dir=_TMP_ROOT)
+        sink = UpsertSink(root, key_cols=["doc_id"], order_col="ver",
+                          tombstone_col="_deleted", output_partitions=2)
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        base = d.withColumn("ver", F.lit(0)).withColumn(
+            "_deleted", F.lit(False))
+        upd = (d.where(F.col("doc_id") % 3 == 0)
+               .withColumn("n_chars", F.col("n_chars") + 1000)
+               .withColumn("ver", F.lit(1))
+               .withColumn("_deleted", F.lit(False)))
+        dele = (d.where(F.col("doc_id") % 7 == 0)
+                .withColumn("ver", F.lit(2))
+                .withColumn("_deleted", F.lit(True)))
+        sink.write_batch(base, 0)
+        sink.write_batch(upd, 1)
+        sink.write_batch(dele, 2)
+        sink.write_batch(upd.withColumn("n_chars", F.lit(-1)), 1)  # replay
+        sink.compact_merge(spark, vacuum=False)
+        sink.vacuum(retention_s=0)
+        _UPSERT_STAGE_CACHE[key] = root
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return UpsertSink(_UPSERT_STAGE_CACHE[key], key_cols=["doc_id"],
+                      order_col="ver", tombstone_col="_deleted",
+                      output_partitions=2)
+
+
+def _q115_upsert_merge(spark, sf: str) -> DataFrame:
+    """Keyed UPSERT table (Delta/Iceberg MERGE INTO analog,
+    streaming/sink.UpsertSink): insert-all, update (doc_id%3==0 gets
+    n_chars+1000), tombstone-delete (doc_id%7==0), one REPLAYED update
+    batch (exactly-once no-op), then a copy-on-write compact_merge +
+    vacuum — read_current afterwards is a plain scan of the merged
+    snapshot (zero shuffle, plan-pinned in tests). The oracle replays
+    the final state row-for-row: last-writer-wins per doc_id with the
+    delete filter. Ledger idempotence, LWW resolution, tombstone
+    semantics and the merge fold all enter the hash."""
+    cur = _upsert_stage(spark, sf).read_current(spark)
+    return cur.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _q105_url_canonical_dedup(spark, sf: str) -> DataFrame:
     """URL-level dedup by CANONICAL URL (Common Crawl's own first-pass
     dedup key; functions/domains.url_canonicalize): case, default
@@ -2299,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 6: q84 FIRST — the one red row in CORRECTNESS_r05
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
+        "q115_upsert_merge": _q115_upsert_merge,
         "q84_warcish_source": _q84_warcish_source,
         "q97_range_join": _q97_range_join,
         "q98_decontaminate_bloom": _q98_decontaminate_bloom,
@@ -2729,6 +2793,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, count(*) AS n_docs,
                    min(doc_id) AS keeper_id
             FROM canon GROUP BY canonical_url
+        """,
+        "q115_upsert_merge": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id % 3 = 0
+                                 THEN n_chars + 1000
+                                 ELSE n_chars END) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM documents
+            WHERE doc_id % 7 <> 0
+            GROUP BY lang
         """,
         "q104_sink_incremental": """
             SELECT lang,

@@ -185,32 +185,65 @@ class ExactlyOnceParquetSink:
         return self._fs_cache
 
     # -- manifest listing (ranges first: compaction shadowing) -------------
+    @staticmethod
+    def _parse_range_stem(stem: str) -> dict | None:
+        """``compact_<lo>-<hi>`` / ``merge_<lo>-<hi>`` -> range record
+        (kind, lo, hi, dir). None for foreign/malformed stems."""
+        for kind in ("compact", "merge"):
+            prefix = kind + "_"
+            if stem.startswith(prefix):
+                lo, _, hi = stem[len(prefix):].partition("-")
+                if lo.isdigit() and hi.isdigit():
+                    return {"lo": int(lo), "hi": int(hi), "kind": kind,
+                            "dir": stem}
+                return None
+        return None
+
+    def _raw_ranges(self) -> list[dict]:
+        """ALL published range manifests, including ones shadowed by a
+        wider merge range — vacuum needs the full list to sweep them."""
+        out = []
+        for f in self.fs.listdir(self.manifest_dir):
+            if not f.endswith(".json"):
+                continue
+            r = self._parse_range_stem(f[:-5])
+            if r is not None:
+                r["file"] = f
+                out.append(r)
+        return sorted(out, key=lambda r: (r["lo"], r["hi"]))
+
     def _manifest_state(self) -> tuple[list[dict], list[int]]:
         """(compacted range entries, uncovered per-batch ids). A batch id
         inside any published range is SHADOWED: its per-batch manifest
-        (which vacuuming may not have swept yet) is ignored."""
+        (which vacuuming may not have swept yet) is ignored. A RANGE
+        whose span lies inside a ``merge_`` range is likewise shadowed:
+        merge-compaction (UpsertSink.compact_merge) rewrites that span's
+        history into one resolved snapshot, and the older range — plain
+        compact or earlier merge — stays on disk only until vacuum's
+        retention expires it. Merge spans always run from the first to
+        the last committed id, so overlaps are strict containments,
+        never partial."""
         fs = self.fs
-        ranges, singles = [], []
+        ranges, singles = self._raw_ranges(), []
         for f in fs.listdir(self.manifest_dir):
             if not f.endswith(".json"):
                 continue
             stem = f[:-5]
-            if stem.startswith("compact_"):
-                lo, _, hi = stem[len("compact_"):].partition("-")
-                if not (lo.isdigit() and hi.isdigit()):
-                    continue  # foreign/malformed file, not a ledger entry
-                ranges.append({"lo": int(lo), "hi": int(hi), "file": f})
-            elif stem.isdigit():
+            if stem.isdigit():
                 singles.append(int(stem))
             # any other .json (editor artifact, future metadata file) is
             # not ours to parse — skipping beats taking down every
             # read/write/compact path with a ValueError
+        merges = [r for r in ranges if r["kind"] == "merge"]
+        ranges = [
+            r for r in ranges
+            if not any(m is not r and m["lo"] <= r["lo"]
+                       and r["hi"] <= m["hi"] for m in merges)
+        ]
         covered = set()
         for r in ranges:
             covered.update(range(r["lo"], r["hi"] + 1))
-        return sorted(ranges, key=lambda r: r["lo"]), sorted(
-            b for b in singles if b not in covered
-        )
+        return ranges, sorted(b for b in singles if b not in covered)
 
     def _is_covered(self, batch_id: int) -> bool:
         """Covered-by-range check against a CACHED range list (refreshed
@@ -277,8 +310,7 @@ class ExactlyOnceParquetSink:
     def _data_paths(self) -> list[str]:
         ranges, singles = self._manifest_state()
         return [
-            os.path.join(self.data_dir, f"compact_{r['lo']}-{r['hi']}")
-            for r in ranges
+            os.path.join(self.data_dir, r["dir"]) for r in ranges
         ] + [os.path.join(self.data_dir, f"batch_id={b}") for b in singles]
 
     def _batch_commit_times(self) -> dict[int, float]:
@@ -311,7 +343,7 @@ class ExactlyOnceParquetSink:
                         f"as_of_timestamp resolution may be stale for "
                         f"timestamps at or after this batch's commit",
                         stacklevel=2)
-            elif stem.startswith("compact_"):
+            elif stem.startswith(("compact_", "merge_")):
                 range_files.append(f)
         for f in range_files:
             try:
@@ -383,8 +415,7 @@ class ExactlyOnceParquetSink:
         paths = []
         for r in ranges:
             if r["hi"] <= as_of_batch:
-                paths.append(os.path.join(
-                    self.data_dir, f"compact_{r['lo']}-{r['hi']}"))
+                paths.append(os.path.join(self.data_dir, r["dir"]))
             elif r["lo"] <= as_of_batch:
                 for b in range(r["lo"], as_of_batch + 1):
                     p = os.path.join(self.data_dir, f"batch_id={b}")
@@ -392,7 +423,7 @@ class ExactlyOnceParquetSink:
                         raise ValueError(
                             f"snapshot as_of_batch={as_of_batch} is "
                             f"EXPIRED: batch {b} was folded into "
-                            f"compact_{r['lo']}-{r['hi']} and its "
+                            f"{r['dir']} and its "
                             "per-batch files were vacuumed")
                     paths.append(p)
         paths += [os.path.join(self.data_dir, f"batch_id={b}")
@@ -457,19 +488,26 @@ class ExactlyOnceParquetSink:
         for r in ranges:
             if r["hi"] <= since_batch or r["lo"] > hi:
                 continue
-            if r["lo"] > since_batch and r["hi"] <= hi:
-                paths.append(os.path.join(
-                    self.data_dir, f"compact_{r['lo']}-{r['hi']}"))
+            if (r["kind"] == "compact" and r["lo"] > since_batch
+                    and r["hi"] <= hi):
+                paths.append(os.path.join(self.data_dir, r["dir"]))
                 continue
+            # a merge_ range holds the RESOLVED upsert state, not the
+            # window's appended deltas — an incremental read through a
+            # merged span must come from the raw per-batch dirs, and is
+            # EXPIRED once vacuum sweeps them (merge rewrites history)
             for b in range(max(r["lo"], since_batch + 1),
                            min(r["hi"], hi) + 1):
                 p = os.path.join(self.data_dir, f"batch_id={b}")
                 if not fs.exists(p):
+                    reason = ("which straddles the window boundary"
+                              if r["kind"] == "compact" else
+                              "whose merged snapshot resolved away the "
+                              "per-row change history")
                     raise ValueError(
                         f"incremental window ({since_batch}, {hi}] is "
                         f"EXPIRED: batch {b} was folded into "
-                        f"compact_{r['lo']}-{r['hi']} which straddles "
-                        "the window boundary, and its per-batch files "
+                        f"{r['dir']} {reason}, and its per-batch files "
                         "were vacuumed")
                 paths.append(p)
         paths += [os.path.join(self.data_dir, f"batch_id={b}")
@@ -595,15 +633,44 @@ class ExactlyOnceParquetSink:
         if retention_s is None:
             retention_s = self.vacuum_retention_s
         now = time.time()
-        ranges, _ = self._manifest_state()
+        raw = self._raw_ranges()
+        merges = [r for r in raw if r["kind"] == "merge"]
+        surviving = [
+            r for r in raw
+            if not any(m is not r and m["lo"] <= r["lo"]
+                       and r["hi"] <= m["hi"] for m in merges)
+        ]
         covered_old = set()
-        for r in ranges:
+        for r in surviving:
             if now - fs.mtime(os.path.join(self.manifest_dir, r["file"])) >= retention_s:
                 covered_old.update(range(r["lo"], r["hi"] + 1))
-        live_ranges = {f"compact_{r['lo']}-{r['hi']}" for r in ranges}
         swept = 0
+        # (a0) ranges shadowed by a wider merge range (compact_merge
+        # rewrote their span's history): sweepable once the SHADOWING
+        # manifest is past retention — a reader that resolved its file
+        # listing just before the merge published may still be scanning
+        # the shadowed dir. Data before manifest, as everywhere.
+        for r in raw:
+            if r in surviving:
+                continue
+            shadower_old = any(
+                m is not r and m["lo"] <= r["lo"] and r["hi"] <= m["hi"]
+                and now - fs.mtime(os.path.join(self.manifest_dir, m["file"]))
+                >= retention_s
+                for m in merges)
+            if shadower_old:
+                fs.delete(os.path.join(self.data_dir, r["dir"]),
+                          recursive=True)
+                fs.delete(os.path.join(self.manifest_dir, r["file"]))
+                swept += 1
+        # manifests (not just data dirs) that remain published: their
+        # data dirs must survive the orphan sweep below even when
+        # shadowed-but-unexpired — in-flight readers may hold their paths
+        live_dirs = {r["dir"] for r in self._raw_ranges()}
         for f in fs.listdir(self.manifest_dir):
-            if f.endswith(".json") and not f.startswith("compact_") and f[:-5].isdigit():
+            if (f.endswith(".json")
+                    and not f.startswith(("compact_", "merge_"))
+                    and f[:-5].isdigit()):
                 b = int(f[:-5])
                 if b in covered_old:
                     # data FIRST, then manifest: the manifest is the
@@ -613,7 +680,7 @@ class ExactlyOnceParquetSink:
                     fs.delete(os.path.join(self.manifest_dir, f))
                     swept += 1
         for d in fs.listdir(self.data_dir):
-            if (d.startswith("compact_") and d not in live_ranges
+            if (d.startswith(("compact_", "merge_")) and d not in live_dirs
                     and now - self._newest_mtime(os.path.join(self.data_dir, d))
                     >= retention_s):
                 fs.delete(os.path.join(self.data_dir, d), recursive=True)
@@ -639,3 +706,174 @@ class ExactlyOnceParquetSink:
             return max(times)
         own = fs.mtime(d)
         return own if own > 0 else time.time()
+
+
+class UpsertSink(ExactlyOnceParquetSink):
+    """Keyed UPSERT table over the exactly-once ledger — the
+    Delta/Iceberg ``MERGE INTO`` analog, laid out like Hudi/Paimon
+    merge-on-read:
+
+    * ``write_batch`` stays APPEND-ONLY: every micro-batch lands as an
+      immutable delta whose rows are stamped with the committing batch
+      id (``_commit_batch``). No read-modify-write per commit — at
+      10^12-doc scale an eager per-batch rewrite is a full-table
+      shuffle per micro-batch; deltas keep the write path O(batch) and
+      inherit the ledger's replay idempotence unchanged.
+    * ``read_current`` resolves LAST-WRITER-WINS per key at scan time:
+      one hash aggregate on the key columns (``max_by`` over
+      ``(_commit_batch, order_col)``), then drops keys whose winning
+      row is a TOMBSTONE (``tombstone_col`` true). Replayed batches
+      were deduped at commit time, so the aggregate sees each committed
+      row exactly once.
+    * ``compact_merge`` is the copy-on-write fold (Hudi compaction /
+      Delta OPTIMIZE analog): it materializes the resolved state into
+      one ``merge_<lo>-<hi>`` snapshot range. While the table stays
+      fully merged, ``read_current`` is a plain parquet scan — ZERO
+      shuffle — until the next delta lands. A later re-merge publishes
+      a WIDER range; the contained older range (plain compact or
+      earlier merge) is shadowed by containment in
+      ``_manifest_state`` and swept by ``vacuum`` after retention.
+
+    Contracts inherited and refined:
+    - time travel: ``read_current(as_of_batch=k)`` straddling a merge
+      range falls back to the raw per-batch deltas and resolves them;
+      once vacuum sweeps those, the historical snapshot is EXPIRED
+      (raises) — never silently resolved from rewritten state.
+    - incremental reads (``read_changes``) through a merged span are
+      likewise EXPIRED after vacuum: the merge resolved away the
+      per-row change history, so the sink refuses to fake a changelog.
+    - within one batch, two rows for the same key are resolved by
+      ``order_col``; supply it whenever a single micro-batch can carry
+      more than one version of a key, otherwise the winner among
+      full-tie rows is plan-order-dependent.
+
+    Reference parity: the reference's checkpoint discipline overwrites
+    ``best_model.pth`` keyed by run on improvement
+    (train_watermarks.py:161-163) — keeper-by-key, last-writer-wins;
+    this class is that discipline generalized into a table format.
+    """
+
+    LINEAGE_COL = "_commit_batch"
+
+    def __init__(self, root: str, key_cols, order_col: str | None = None,
+                 tombstone_col: str | None = None, **kwargs):
+        super().__init__(root, **kwargs)
+        if isinstance(key_cols, str):
+            key_cols = [key_cols]
+        if not key_cols:
+            raise ValueError("key_cols must name at least one column")
+        self.key_cols = list(key_cols)
+        self.order_col = order_col
+        self.tombstone_col = tombstone_col
+
+    # -- write side ---------------------------------------------------------
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if self.LINEAGE_COL in df.columns:
+            raise ValueError(
+                f"{self.LINEAGE_COL} is the sink's lineage column — "
+                "rename the input column")
+        missing = [c for c in self.key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"batch is missing key column(s) {missing}")
+        super().write_batch(
+            df.withColumn(self.LINEAGE_COL, F.lit(int(batch_id))), batch_id)
+
+    # -- merge-on-read resolution --------------------------------------------
+    def _resolved(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        order = [F.col(self.LINEAGE_COL)]
+        if self.order_col:
+            order.append(F.col(self.order_col))
+        payload = F.struct(*[F.col(c) for c in df.columns])
+        return (
+            df.groupBy(*[F.col(c) for c in self.key_cols])
+            .agg(F.max_by(payload, F.struct(*order)).alias("_r"))
+            .select("_r.*")
+        )
+
+    def _drop_tombstones(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self.tombstone_col and self.tombstone_col in df.columns:
+            # NULL tombstone flag (e.g. pre-evolution batches) = live row
+            df = df.where(
+                ~F.coalesce(F.col(self.tombstone_col), F.lit(False)))
+        return df
+
+    def _fully_merged(self) -> bool:
+        ranges, singles = self._manifest_state()
+        return (not singles and len(ranges) == 1
+                and ranges[0]["kind"] == "merge")
+
+    def read_current(self, spark: SparkSession,
+                     as_of_batch: int | None = None,
+                     as_of_timestamp: float | None = None,
+                     keep_lineage: bool = False) -> DataFrame:
+        """The table's CURRENT state (or its state as of a past batch /
+        commit timestamp): one row per key, last writer wins, tombstoned
+        keys absent. While the ledger is exactly one merge range this is
+        a plain scan of the materialized snapshot (no aggregate, no
+        shuffle); otherwise it is merge-on-read — one key-partitioned
+        hash aggregate over base + deltas."""
+        df = self.read(spark, as_of_batch=as_of_batch,
+                       as_of_timestamp=as_of_timestamp)
+        if not (as_of_batch is None and as_of_timestamp is None
+                and self._fully_merged()):
+            df = self._resolved(df)
+        df = self._drop_tombstones(df)
+        return df if keep_lineage else df.drop(self.LINEAGE_COL)
+
+    # -- maintenance: copy-on-write fold --------------------------------------
+    def compact_merge(self, spark: SparkSession,
+                      output_partitions: int | None = None,
+                      vacuum: bool = True) -> dict | None:
+        """Materialize the resolved state into one ``merge_<lo>-<hi>``
+        snapshot covering every committed batch. Crash-safe by the
+        standard ordering: data lands (orphan until published), the
+        range manifest publishes atomically, then covered manifests are
+        vacuumed after retention. Rows keep their ORIGINAL
+        ``_commit_batch`` lineage, so later deltas (always > hi) still
+        win last-writer-wins against merged rows. Tombstoned keys are
+        dropped at merge time; a later delta may freely re-insert them.
+        Returns the published range entry, or None when the table is
+        already fully merged (no-op)."""
+        fs = self.fs
+        ranges, singles = self._manifest_state()
+        committed = set(singles)
+        for r in ranges:
+            committed.update(range(r["lo"], r["hi"] + 1))
+        if not committed:
+            raise ValueError(f"nothing to merge under {self.root}")
+        if self._fully_merged():
+            return None
+        lo, hi = min(committed), max(committed)
+        if committed != set(range(lo, hi + 1)):
+            # a range manifest asserts every id in its span is committed
+            missing = sorted(set(range(lo, hi + 1)) - committed)
+            raise ValueError(
+                f"merge compaction needs a contiguous ledger; batch(es) "
+                f"{missing} have not committed yet")
+        cur = self._drop_tombstones(self._resolved(self.read(spark)))
+        out = os.path.join(self.data_dir, f"merge_{lo}-{hi}")
+        n_out = output_partitions or self.output_partitions or 8
+        cur.coalesce(n_out).write.mode("overwrite").parquet(out)
+        files = sorted(f for f in fs.listdir(out) if f.endswith(".parquet"))
+        n_rows = sum(fs.parquet_rows(os.path.join(out, f)) for f in files)
+        times = self._batch_commit_times()
+        entry = {
+            "lo": lo, "hi": hi, "batch_ids": list(range(lo, hi + 1)),
+            "n_rows": n_rows, "n_files": len(files), "files": files,
+            "committed_at_epoch": time.time(), "merged": True,
+            "batch_commits": {str(b): times[b]
+                              for b in range(lo, hi + 1) if b in times},
+        }
+        fs.write_atomic(
+            os.path.join(self.manifest_dir, f"merge_{lo}-{hi}.json"),
+            json.dumps(entry))
+        self._ranges_cache = None  # ranges changed — refresh on next commit
+        if vacuum:
+            self.vacuum()
+        return entry
