@@ -2320,6 +2320,76 @@ def _q115_upsert_merge(spark, sf: str) -> DataFrame:
     )
 
 
+_PR_MOD, _PR_ITERS, _PR_DAMP = 16, 5, 0.85
+
+
+def _pagerank_edges(spark, sf: str) -> DataFrame:
+    """Deterministic 16-node link graph derived from doc_ids: node =
+    doc_id%16, out-links (31·id+7)%16 and (17·id+3)%16. Within a
+    residue class both targets are constant (31·64k ≡ 0 mod 16 etc.),
+    so each node has exactly 1-2 distinct out-edges, no self-loops
+    (parity argument: 30s ≡ -7 and 16s ≡ -3 have no solutions mod 16),
+    and — because every residue 0..15 occurs at every SF — no dangling
+    nodes, which keeps the oracle free of the dangling-mass term."""
+    d = _t(spark, sf, "documents")
+    e = d.select((F.col("doc_id") % _PR_MOD).alias("src"),
+                 ((F.col("doc_id") * 31 + 7) % _PR_MOD).alias("dst")).unionAll(
+        d.select((F.col("doc_id") % _PR_MOD).alias("src"),
+                 ((F.col("doc_id") * 17 + 3) % _PR_MOD).alias("dst")))
+    return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _q116_pagerank(spark, sf: str) -> DataFrame:
+    """PageRank over the doc-derived domain link graph
+    (operators/graph.pagerank): fixed 5 power iterations, damping 0.85,
+    textbook update rank' = (1-d)/N + d·Σ rank/outdeg. The operator
+    keeps the edge table stationary (one repartition-by-src + persist;
+    only the |V|-row rank vector shuffles per round) and truncates
+    lineage every iteration — the Common-Crawl-style host-authority
+    ranking for quality weighting. Oracle = the same five iterations as
+    chained DuckDB CTEs; float sum-order divergence is absorbed by the
+    harness's 8-significant-digit rounding."""
+    from watermark_detector_spark.operators.graph import pagerank
+
+    return (pagerank(_pagerank_edges(spark, sf), damping=_PR_DAMP,
+                     n_iters=_PR_ITERS)
+            .select("node", "rank").orderBy("node"))
+
+
+def _pagerank_sql(n_iters: int = _PR_ITERS, d: float = _PR_DAMP,
+                  m: int = _PR_MOD) -> str:
+    """Chained-CTE replay of the fixed-iteration power method (no
+    dangling term — the q116 graph has none by construction)."""
+    parts = [f"""
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % {m} AS src,
+                       (doc_id * 31 + 7) % {m} AS dst FROM documents
+                UNION ALL
+                SELECT doc_id % {m}, (doc_id * 17 + 3) % {m}
+                FROM documents) u
+            WHERE src <> dst),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+               FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(n_iters):
+        parts.append(f""",
+        c{i} AS (SELECT e.dst AS node, sum(r.rank / od.deg) AS s
+                 FROM e JOIN r{i} r ON e.src = r.node
+                        JOIN od ON od.src = e.src
+                 GROUP BY e.dst),
+        r{i + 1} AS (SELECT nodes.node,
+                            (1 - {d}) / (SELECT n FROM nn)
+                            + {d} * coalesce(c{i}.s, 0.0) AS rank
+                     FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    parts.append(f"""
+        SELECT node, rank FROM r{n_iters} ORDER BY node""")
+    return "".join(parts)
+
+
 def _q105_url_canonical_dedup(spark, sf: str) -> DataFrame:
     """URL-level dedup by CANONICAL URL (Common Crawl's own first-pass
     dedup key; functions/domains.url_canonicalize): case, default
@@ -2363,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
         "q115_upsert_merge": _q115_upsert_merge,
+        "q116_pagerank": _q116_pagerank,
         "q84_warcish_source": _q84_warcish_source,
         "q97_range_join": _q97_range_join,
         "q98_decontaminate_bloom": _q98_decontaminate_bloom,
@@ -2806,6 +2877,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 7 <> 0
             GROUP BY lang
         """,
+        "q116_pagerank": _pagerank_sql(),
         "q104_sink_incremental": """
             SELECT lang,
                    count(*) AS n_docs,

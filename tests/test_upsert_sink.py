@@ -146,6 +146,48 @@ def test_upsert_rejects_lineage_collision_and_missing_key(
         sink.write_batch(df.drop("k"), 0)
 
 
+def test_streaming_cdc_upserts_through_foreach_batch(
+        spark, tmp_path_factory):
+    """End-to-end CDC: a file stream of keyed change rows drives
+    foreachBatch(upsert.foreach_batch()) with a checkpoint; a restart
+    with the same checkpoint picks up only the NEW change file, and the
+    resolved table equals replaying all changes in order."""
+    import pandas as pd
+
+    base = tmp_path_factory.mktemp("upsert_cdc")
+    src, root, ckpt = (str(base / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+
+    def _change_file(idx, rows):
+        p = os.path.join(src, f"{idx:05d}.parquet")
+        pd.DataFrame(rows, columns=["k", "v", "ver", "dead"]).astype(
+            {"k": "int64", "v": "int64", "ver": "int64", "dead": "bool"}
+        ).to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + idx, 1_000_000 + idx))  # stable order
+
+    def _run(sink):
+        q = (spark.readStream.schema("k long, v long, ver long, dead boolean")
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(sink.foreach_batch())
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    sink = UpsertSink(root, key_cols=["k"], order_col="ver",
+                      tombstone_col="dead", output_partitions=1)
+    _change_file(0, [(i, 10 * i, 0, False) for i in range(6)])
+    _change_file(1, [(1, 111, 1, False), (3, 333, 1, False)])
+    _change_file(2, [(2, 0, 2, True)])
+    _run(sink)
+    assert _current(sink, spark) == EXPECTED
+    assert sink.committed_batches() == [0, 1, 2]
+    # restart: only the new change file becomes a (new) batch
+    _change_file(3, [(0, 999, 3, False)])
+    _run(sink)
+    assert sink.committed_batches() == [0, 1, 2, 3]
+    assert _current(sink, spark) == {**EXPECTED, 0: (999, 3)}
+
+
 def test_plain_compact_still_folds_upsert_deltas(spark, tmp_path_factory):
     """Layout-only compaction (base class) keeps merge-on-read exact:
     the lineage column travels with the rows through the rewrite."""
