@@ -2390,6 +2390,39 @@ def _pagerank_sql(n_iters: int = _PR_ITERS, d: float = _PR_DAMP,
     return "".join(parts)
 
 
+def _q117_hll_distinct(spark, sf: str) -> DataFrame:
+    """Portable HyperLogLog cardinality sketch
+    (functions/sketches.py): approx distinct of doc_id%150 per lang,
+    p=8 (256 buckets), alongside the exact count for context. The
+    sketch is built on md5 — engine-portable registers, so DuckDB
+    replays the identical estimate (ln's last ulp absorbed by the
+    harness rounding). Scale story: the register aggregate is two-phase
+    (map-side partial max per bucket) — the shuffle carries ≤256 small
+    ints per group instead of every distinct value, and registers merge
+    by max for hierarchical rollups (tested)."""
+    from watermark_detector_spark.functions.sketches import hll_distinct
+
+    d = _t(spark, sf, "documents").select(
+        "lang", (F.col("doc_id") % 150).alias("v"))
+    est = hll_distinct(d, ["lang"], F.col("v"), p=8)
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("v").alias("n_exact"))
+    return est.join(exact, "lang").select("lang", "est_distinct", "n_exact")
+
+
+def _q117_sql() -> str:
+    from watermark_detector_spark.functions.sketches import hll_sql
+
+    inner = hll_sql("documents", ["lang"], "CAST(doc_id % 150 AS VARCHAR)",
+                    p=8)
+    return f"""
+        SELECT e.lang, e.est_distinct, x.n_exact
+        FROM ({inner}) e
+        JOIN (SELECT lang, count(DISTINCT doc_id % 150) AS n_exact
+              FROM documents GROUP BY lang) x USING (lang)
+    """
+
+
 def _q105_url_canonical_dedup(spark, sf: str) -> DataFrame:
     """URL-level dedup by CANONICAL URL (Common Crawl's own first-pass
     dedup key; functions/domains.url_canonicalize): case, default
@@ -2434,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    warcish.register now sets it at runtime) --
         "q115_upsert_merge": _q115_upsert_merge,
         "q116_pagerank": _q116_pagerank,
+        "q117_hll_distinct": _q117_hll_distinct,
         "q84_warcish_source": _q84_warcish_source,
         "q97_range_join": _q97_range_join,
         "q98_decontaminate_bloom": _q98_decontaminate_bloom,
@@ -2878,6 +2912,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "q116_pagerank": _pagerank_sql(),
+        "q117_hll_distinct": _q117_sql(),
         "q104_sink_incremental": """
             SELECT lang,
                    count(*) AS n_docs,

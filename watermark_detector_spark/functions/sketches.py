@@ -1,0 +1,148 @@
+"""Portable cardinality sketches: HyperLogLog over md5, pure built-in
+expressions.
+
+Spark ships approx_count_distinct (HLL++), but its register layout is
+engine-private — results can't be reproduced, merged, or audited
+outside Spark. This module rebuilds classic HyperLogLog (Flajolet et
+al. 2007) on top of md5, the engine-portable hash this repo already
+uses for splits/sampling/minhash: any SQL engine computes the same
+digests, hence the SAME registers and the SAME estimate — which is what
+makes an approximate sketch oracle-checkable bit-for-bit (modulo the
+harness's 8-significant-digit float rounding; ln() may differ in the
+last ulp across libms).
+
+Scale shape (the reason sketches exist at 100 TB):
+- ``hll_registers`` is a plain two-phase aggregate: partial max per
+  (group, bucket) happens MAP-SIDE, so the shuffle carries at most
+  m=2^p rows per group per input partition — never the distinct values
+  themselves. Exact count(DISTINCT url) over 10^12 rows shuffles every
+  distinct value; the sketch shuffles ≤256 small ints per group.
+- registers MERGE by element-wise max — associative and commutative,
+  so sketches roll up hierarchically (per-file → per-day → global) and
+  work under retraction-free streaming aggregation.
+
+alpha_m and the small-range (linear-counting) correction follow the
+original paper; the 120-bit tail makes the large-range correction
+unreachable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value: Column,
+                  p: int = 8) -> DataFrame:
+    """Per-group HLL register table ``group_cols + (bucket, reg)``.
+
+    bucket = first p bits of md5(value) (p must be a multiple of 4 so
+    the bucket is a whole hex prefix — keeps the expression portable);
+    reg = max over the group of rho(tail), rho = 1-based position of
+    the first 1-bit in the 120-bit tail (121 if all zero). Only
+    buckets that saw data appear; absent buckets are register 0 by
+    convention (``hll_estimate`` accounts for them).
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    nib = p // 4
+    h = F.md5(value.cast("string").cast("binary"))
+    tail = F.substring(h, nib + 1, 32 - nib)
+    k0 = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    first = F.conv(F.substring(tail, k0 + 1, 1), 16, 10).cast("int")
+    nibble_lead = (F.when(first >= 8, 0).when(first >= 4, 1)
+                   .when(first >= 2, 2).otherwise(3))
+    rho = F.when(k0 == (32 - nib), F.lit(4 * (32 - nib) + 1)).otherwise(
+        4 * k0 + nibble_lead + 1)
+    bucket = F.conv(F.substring(h, 1, nib), 16, 10).cast("int")
+    return (df.select(*group_cols, bucket.alias("bucket"),
+                      rho.alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("reg")))
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge register tables (same grouping/p): element-wise max."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "reg"]
+    return out.groupBy(*keys).agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str],
+                 p: int = 8) -> DataFrame:
+    """Cardinality estimate per group from a register table:
+    raw = alpha_m * m^2 / (sum 2^-reg + zeros), linear counting
+    m*ln(m/zeros) when raw <= 2.5m and empty buckets remain."""
+    m = 1 << p
+    est = (registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
+        F.count(F.lit(1)).alias("_present"))
+        .withColumn("_zeros", F.lit(m) - F.col("_present"))
+        .withColumn("_raw", F.lit(_alpha(m) * m * m)
+                    / (F.col("_s") + F.col("_zeros")))
+        .withColumn(
+            "est_distinct",
+            F.when((F.col("_raw") <= 2.5 * m) & (F.col("_zeros") > 0),
+                   F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_zeros")))
+            .otherwise(F.col("_raw"))))
+    return est.select(*group_cols, "est_distinct")
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value: Column,
+                 p: int = 8) -> DataFrame:
+    """approx-count-distinct of ``value`` per group via portable HLL."""
+    return hll_estimate(hll_registers(df, group_cols, value, p),
+                        group_cols, p)
+
+
+def hll_sql(table: str, group_cols: list[str], value_sql: str,
+            p: int = 8) -> str:
+    """The DuckDB replay of hll_distinct — same hash, same registers,
+    same float ops (DuckDB lacks conv(); hex→int goes through the
+    ('0x'||…)::BIGINT cast instead)."""
+    m = 1 << p
+    nib = p // 4
+    g = ", ".join(group_cols)
+    return f"""
+        WITH rho AS (
+            SELECT {g},
+                   CAST(('0x' || substring(md5({value_sql}), 1, {nib}))
+                        AS BIGINT) AS bucket,
+                   length(regexp_extract(
+                       substring(md5({value_sql}), {nib + 1}, {32 - nib}),
+                       '^(0*)', 1)) AS k0,
+                   TRY_CAST(('0x' || substring(
+                       substring(md5({value_sql}), {nib + 1}, {32 - nib}),
+                       length(regexp_extract(
+                           substring(md5({value_sql}), {nib + 1}, {32 - nib}),
+                           '^(0*)', 1)) + 1, 1)) AS BIGINT) AS first
+            FROM {table}),
+        regs AS (
+            SELECT {g}, bucket,
+                   max(CASE WHEN k0 = {32 - nib} THEN {4 * (32 - nib) + 1}
+                            ELSE 4 * k0
+                                 + (CASE WHEN first >= 8 THEN 0
+                                         WHEN first >= 4 THEN 1
+                                         WHEN first >= 2 THEN 2
+                                         ELSE 3 END) + 1 END) AS reg
+            FROM rho GROUP BY {g}, bucket),
+        agg AS (
+            SELECT {g},
+                   sum(power(2.0, -reg)) AS s,
+                   count(*) AS present
+            FROM regs GROUP BY {g})
+        SELECT {g},
+               CASE WHEN ({_alpha(m) * m * m!r} / (s + ({m} - present)))
+                         <= {2.5 * m}
+                         AND ({m} - present) > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / ({m} - present))
+                    ELSE {_alpha(m) * m * m!r} / (s + ({m} - present))
+               END AS est_distinct
+        FROM agg
+    """
