@@ -2423,6 +2423,62 @@ def _q117_sql() -> str:
     """
 
 
+def _q118_stream_hll(spark, sf: str) -> DataFrame:
+    """STREAMING windowed approx-distinct users. Exact count(DISTINCT)
+    is unsupported in streaming aggregations — the portable HLL sketch
+    (functions/sketches.py) makes it expressible because registers
+    aggregate by MAX, which streams fine: chained stateful aggs
+    (q61 pattern) build (window, bucket) → max(rho) registers, then
+    re-window to fold registers into the estimate. State per window is
+    bounded by m=256 registers regardless of user cardinality — the
+    whole point of a sketch in a stream. Oracle: batch replay of the
+    identical register/estimate expressions per 15-minute bucket with
+    the append emission rule (window end <= final watermark)."""
+    from watermark_detector_spark.functions.sketches import (
+        hll_bucket_rho,
+        hll_estimate_col,
+    )
+
+    src, _ = _events_stream(spark, sf)
+    bucket, rho = hll_bucket_rho(F.col("user_id"), p=8)
+    regs = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w15"),
+                 bucket.alias("bucket"))
+        .agg(F.max(rho).alias("reg"))
+    )
+    est = (
+        regs.groupBy(F.window(F.col("w15"), "15 minutes").alias("w"))
+        .agg(F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
+             F.count(F.lit(1)).alias("_present"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias(
+                "window_start"),
+            hll_estimate_col(F.col("_s"), F.col("_present"), 8).alias(
+                "est_users"),
+        )
+    )
+    name = "wmd_q118_" + uuid.uuid4().hex[:8]
+    _run_to_memory(est, name, "append")
+    return spark.table(name)
+
+
+def _q118_sql() -> str:
+    from watermark_detector_spark.functions.sketches import hll_sql
+
+    inner = hll_sql(
+        "(SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws, user_id "
+        "FROM events) hsrc",
+        ["ws"], "CAST(user_id AS VARCHAR)", p=8)
+    return f"""
+        WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        est AS ({inner})
+        SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+               est_distinct AS est_users
+        FROM est, wm WHERE ws + INTERVAL 15 MINUTE <= wm.w
+    """
+
+
 def _q105_url_canonical_dedup(spark, sf: str) -> DataFrame:
     """URL-level dedup by CANONICAL URL (Common Crawl's own first-pass
     dedup key; functions/domains.url_canonicalize): case, default
@@ -2468,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_upsert_merge": _q115_upsert_merge,
         "q116_pagerank": _q116_pagerank,
         "q117_hll_distinct": _q117_hll_distinct,
+        "q118_stream_hll": _q118_stream_hll,
         "q84_warcish_source": _q84_warcish_source,
         "q97_range_join": _q97_range_join,
         "q98_decontaminate_bloom": _q98_decontaminate_bloom,
@@ -2913,6 +2970,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q116_pagerank": _pagerank_sql(),
         "q117_hll_distinct": _q117_sql(),
+        "q118_stream_hll": _q118_sql(),
         "q104_sink_incremental": """
             SELECT lang,
                    count(*) AS n_docs,

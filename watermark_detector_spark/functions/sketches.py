@@ -36,17 +36,13 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(df: DataFrame, group_cols: list[str], value: Column,
-                  p: int = 8) -> DataFrame:
-    """Per-group HLL register table ``group_cols + (bucket, reg)``.
-
-    bucket = first p bits of md5(value) (p must be a multiple of 4 so
-    the bucket is a whole hex prefix — keeps the expression portable);
-    reg = max over the group of rho(tail), rho = 1-based position of
-    the first 1-bit in the 120-bit tail (121 if all zero). Only
-    buckets that saw data appear; absent buckets are register 0 by
-    convention (``hll_estimate`` accounts for them).
-    """
+def hll_bucket_rho(value: Column, p: int = 8) -> tuple[Column, Column]:
+    """The per-row sketch columns ``(bucket, rho)``: bucket = first p
+    bits of md5(value) (p must be a multiple of 4 so the bucket is a
+    whole hex prefix — keeps the expression portable); rho = 1-based
+    position of the first 1-bit in the remaining tail (tail-width+1 if
+    all zero). Exposed separately so streaming queries can build
+    registers under their own windowed groupBy."""
     if p % 4 != 0 or not 4 <= p <= 16:
         raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
     nib = p // 4
@@ -59,6 +55,27 @@ def hll_registers(df: DataFrame, group_cols: list[str], value: Column,
     rho = F.when(k0 == (32 - nib), F.lit(4 * (32 - nib) + 1)).otherwise(
         4 * k0 + nibble_lead + 1)
     bucket = F.conv(F.substring(h, 1, nib), 16, 10).cast("int")
+    return bucket, rho
+
+
+def hll_estimate_col(s: Column, present: Column, p: int = 8) -> Column:
+    """Estimate from the aggregated register stats: ``s`` =
+    Σ 2^-reg over PRESENT buckets, ``present`` = their count. Raw
+    estimate with the linear-counting small-range branch."""
+    m = 1 << p
+    zeros = F.lit(m) - present
+    raw = F.lit(_alpha(m) * m * m) / (s + zeros)
+    return F.when((raw <= 2.5 * m) & (zeros > 0),
+                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                  ).otherwise(raw)
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value: Column,
+                  p: int = 8) -> DataFrame:
+    """Per-group HLL register table ``group_cols + (bucket, reg)``.
+    Only buckets that saw data appear; absent buckets are register 0 by
+    convention (``hll_estimate`` accounts for them)."""
+    bucket, rho = hll_bucket_rho(value, p)
     return (df.select(*group_cols, bucket.alias("bucket"),
                       rho.alias("rho"))
             .groupBy(*group_cols, "bucket")
@@ -79,18 +96,11 @@ def hll_estimate(registers: DataFrame, group_cols: list[str],
     """Cardinality estimate per group from a register table:
     raw = alpha_m * m^2 / (sum 2^-reg + zeros), linear counting
     m*ln(m/zeros) when raw <= 2.5m and empty buckets remain."""
-    m = 1 << p
     est = (registers.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
         F.count(F.lit(1)).alias("_present"))
-        .withColumn("_zeros", F.lit(m) - F.col("_present"))
-        .withColumn("_raw", F.lit(_alpha(m) * m * m)
-                    / (F.col("_s") + F.col("_zeros")))
-        .withColumn(
-            "est_distinct",
-            F.when((F.col("_raw") <= 2.5 * m) & (F.col("_zeros") > 0),
-                   F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_zeros")))
-            .otherwise(F.col("_raw"))))
+        .withColumn("est_distinct",
+                    hll_estimate_col(F.col("_s"), F.col("_present"), p)))
     return est.select(*group_cols, "est_distinct")
 
 
