@@ -54,3 +54,5 @@ def test_pagerank_validates_args(spark):
         pagerank(e, n_iters=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(e, damping=1.0)
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(e.where("src > 100"))

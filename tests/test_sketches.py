@@ -44,6 +44,17 @@ def test_small_range_uses_linear_counting(spark):
     assert est["est_distinct"] == pytest.approx(10, rel=0.05)
 
 
+def test_nulls_do_not_count(spark):
+    with_nulls = _vals(spark, 10).unionByName(
+        _vals(spark, 3).select("g", F.lit(None).cast("long").alias("v")))
+    est = hll_distinct(with_nulls, ["g"], F.col("v"), p=8).first()
+    assert est["est_distinct"] == pytest.approx(10, rel=0.05)
+    # a group of only NULLs has no registers -> absent from the output
+    only_null = _vals(spark, 3).select(
+        "g", F.lit(None).cast("long").alias("v"))
+    assert hll_distinct(only_null, ["g"], F.col("v")).count() == 0
+
+
 def test_hll_validates_precision(spark):
     with pytest.raises(ValueError, match="multiple of 4"):
         hll_registers(_vals(spark, 5), ["g"], F.col("v"), p=10)

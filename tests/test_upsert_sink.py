@@ -111,6 +111,57 @@ def test_remerge_shadows_and_vacuums_old_range(spark, tmp_path_factory):
     assert _current(sink, spark) == {**EXPECTED, 0: (999, 3)}
 
 
+def test_merge_publish_does_not_expire_reads_served_by_shadowed_range(
+        spark, tmp_path_factory):
+    """Publishing a merge range must not EXPIRE time-travel /
+    incremental reads that a shadowed, still-published compact range
+    can serve exactly — expiry happens at vacuum, never at publish."""
+    root = str(tmp_path_factory.mktemp("upsert_shadow_read"))
+    sink = _stage(spark, root, replay=False)
+    sink.compact(spark)           # compact_0-2 (raw deltas, one dir)
+    sink.vacuum(retention_s=0)    # per-batch dirs swept
+    sink.write_batch(_mk(spark, [(0, 999, 3, False)]), 3)
+    # servable pre-merge reads: snapshot AT the compact boundary and
+    # the change window it covers exactly (a straddled as_of_batch=1
+    # is already-expired contract, before AND after the merge)
+    before_tt = _current(sink, spark, as_of_batch=2)
+    before_ch = sink.read_changes(spark, since_batch=-1,
+                                  as_of_batch=2).count()
+    sink.compact_merge(spark, vacuum=False)  # merge_0-3 shadows compact_0-2
+    # both reads still resolve through the shadowed compact range
+    assert _current(sink, spark, as_of_batch=2) == before_tt
+    assert sink.read_changes(spark, since_batch=-1,
+                             as_of_batch=2).count() == before_ch
+    # a change window the shadowed range STRADDLES is still expired
+    with pytest.raises(ValueError, match="EXPIRED"):
+        sink.read_changes(spark, since_batch=1, as_of_batch=3)
+    # once vacuum sweeps the shadowed range, expiry is real
+    sink.vacuum(retention_s=0)
+    with pytest.raises(ValueError, match="EXPIRED"):
+        sink.read_current(spark, as_of_batch=2)
+
+
+def test_remerge_falls_back_to_shadowed_merge_snapshot(
+        spark, tmp_path_factory):
+    """After merge -> vacuum -> delta -> re-merge, a snapshot read at
+    the OLD merge boundary is served by the shadowed merge_0-2 dir
+    (resolved state of its span) until vacuum sweeps it."""
+    root = str(tmp_path_factory.mktemp("upsert_shadow_merge"))
+    sink = _stage(spark, root)
+    sink.compact_merge(spark)
+    sink.vacuum(retention_s=0)
+    sink.write_batch(_mk(spark, [(0, 999, 3, False)]), 3)
+    sink.compact_merge(spark, vacuum=False)  # merge_0-3 shadows merge_0-2
+    assert _current(sink, spark, as_of_batch=2) == EXPECTED
+    # but a CHANGE read through the merged span stays expired: a merge
+    # snapshot is not a changelog
+    with pytest.raises(ValueError, match="EXPIRED"):
+        sink.read_changes(spark, since_batch=0, as_of_batch=2)
+    sink.vacuum(retention_s=0)
+    with pytest.raises(ValueError, match="EXPIRED"):
+        sink.read_current(spark, as_of_batch=2)
+
+
 def test_merge_time_travel_expires_after_vacuum(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("upsert_tt"))
     sink = _stage(spark, root)

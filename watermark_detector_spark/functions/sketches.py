@@ -76,8 +76,11 @@ def hll_registers(df: DataFrame, group_cols: list[str], value: Column,
     Only buckets that saw data appear; absent buckets are register 0 by
     convention (``hll_estimate`` accounts for them)."""
     bucket, rho = hll_bucket_rho(value, p)
-    return (df.select(*group_cols, bucket.alias("bucket"),
-                      rho.alias("rho"))
+    # NULLs don't count toward cardinality (standard HLL); left in,
+    # they'd form a NULL-bucket register that inflates `present`
+    return (df.where(value.isNotNull())
+            .select(*group_cols, bucket.alias("bucket"),
+                    rho.alias("rho"))
             .groupBy(*group_cols, "bucket")
             .agg(F.max("rho").alias("reg")))
 
@@ -132,7 +135,7 @@ def hll_sql(table: str, group_cols: list[str], value_sql: str,
                        length(regexp_extract(
                            substring(md5({value_sql}), {nib + 1}, {32 - nib}),
                            '^(0*)', 1)) + 1, 1)) AS BIGINT) AS first
-            FROM {table}),
+            FROM {table} WHERE ({value_sql}) IS NOT NULL),
         regs AS (
             SELECT {g}, bucket,
                    max(CASE WHEN k0 = {32 - nib} THEN {4 * (32 - nib) + 1}

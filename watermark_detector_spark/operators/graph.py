@@ -78,6 +78,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .union(e.select(F.col("dst").alias("node")))
              .distinct().persist())
     n = nodes.count()  # one scalar; also materializes the persists
+    if n == 0:
+        for cached in (e, nodes):
+            cached.unpersist()
+        raise ValueError("pagerank over an empty edge list: no nodes")
     outdeg = (e.groupBy("src")
               .agg(F.count(F.lit(1)).cast("double").alias("deg"))
               .persist())

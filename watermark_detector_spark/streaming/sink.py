@@ -199,51 +199,103 @@ class ExactlyOnceParquetSink:
                 return None
         return None
 
-    def _raw_ranges(self) -> list[dict]:
-        """ALL published range manifests, including ones shadowed by a
-        wider merge range — vacuum needs the full list to sweep them."""
-        out = []
+    @staticmethod
+    def _shadowed_by_merge(r: dict, merges: list[dict]) -> bool:
+        """True when ``r``'s span lies inside a DIFFERENT ``merge_``
+        range. Merge spans always run from the first to the last
+        committed id, so overlaps are strict containments, never
+        partial — the single containment rule every read/vacuum path
+        shares."""
+        return any(m is not r and m["lo"] <= r["lo"] and r["hi"] <= m["hi"]
+                   for m in merges)
+
+    def _list_manifests(self) -> tuple[list[dict], list[int]]:
+        """ONE manifest-dir LIST → (all published range records, all
+        per-batch ids). Every caller goes through here so one logical
+        read costs one LIST RPC (object stores bill and throttle these).
+        Foreign .json files (editor artifacts, future metadata) are
+        skipped — not ours to parse."""
+        ranges, singles = [], []
         for f in self.fs.listdir(self.manifest_dir):
             if not f.endswith(".json"):
                 continue
-            r = self._parse_range_stem(f[:-5])
+            stem = f[:-5]
+            r = self._parse_range_stem(stem)
             if r is not None:
                 r["file"] = f
-                out.append(r)
-        return sorted(out, key=lambda r: (r["lo"], r["hi"]))
+                ranges.append(r)
+            elif stem.isdigit():
+                singles.append(int(stem))
+        return sorted(ranges, key=lambda r: (r["lo"], r["hi"])), singles
+
+    def _raw_ranges(self) -> list[dict]:
+        """ALL published range manifests, including ones shadowed by a
+        wider merge range — vacuum needs the full list to sweep them."""
+        return self._list_manifests()[0]
+
+    def _manifest_full(self) -> tuple[list[dict], list[int], list[dict]]:
+        """(live ranges, uncovered per-batch ids, shadowed ranges). A
+        batch id inside any published range is SHADOWED: its per-batch
+        manifest (which vacuuming may not have swept yet) is ignored. A
+        RANGE whose span lies inside a ``merge_`` range is likewise
+        shadowed: merge-compaction (UpsertSink.compact_merge) rewrites
+        that span's history into one resolved snapshot, and the older
+        range — plain compact or earlier merge — stays published on
+        disk only until vacuum's retention expires it. Until then it
+        remains usable as a FALLBACK for time-travel / incremental
+        reads through the merged span (third tuple element)."""
+        raw, singles = self._list_manifests()
+        merges = [r for r in raw if r["kind"] == "merge"]
+        live = [r for r in raw if not self._shadowed_by_merge(r, merges)]
+        shadowed = [r for r in raw if self._shadowed_by_merge(r, merges)]
+        covered = set()
+        for r in live:
+            covered.update(range(r["lo"], r["hi"] + 1))
+        return live, sorted(b for b in singles if b not in covered), shadowed
 
     def _manifest_state(self) -> tuple[list[dict], list[int]]:
-        """(compacted range entries, uncovered per-batch ids). A batch id
-        inside any published range is SHADOWED: its per-batch manifest
-        (which vacuuming may not have swept yet) is ignored. A RANGE
-        whose span lies inside a ``merge_`` range is likewise shadowed:
-        merge-compaction (UpsertSink.compact_merge) rewrites that span's
-        history into one resolved snapshot, and the older range — plain
-        compact or earlier merge — stays on disk only until vacuum's
-        retention expires it. Merge spans always run from the first to
-        the last committed id, so overlaps are strict containments,
-        never partial."""
+        """(live range entries, uncovered per-batch ids) — see
+        :meth:`_manifest_full`."""
+        live, singles, _ = self._manifest_full()
+        return live, singles
+
+    def _fallback_span_paths(self, lo: int, hi: int, shadowed: list[dict],
+                             allow_merge: bool, expired_msg) -> list[str]:
+        """Per-batch data dirs for ids ``lo..hi``, substituting a
+        shadowed-but-still-published range wherever the raw delta dirs
+        are already vacuumed and the range's whole span fits inside
+        ``[lo, hi]`` — publishing a merge must not EXPIRE reads that an
+        older on-disk range can still serve exactly. ``allow_merge``: a
+        shadowed merge snapshot is a valid substitute for SNAPSHOT
+        reads (the resolved state of its span, exactly what a live
+        merge range would contribute) but never for CHANGE reads (a
+        merge resolves away the per-row change history).
+        ``expired_msg(b)`` renders the error once nothing can serve
+        batch ``b``."""
         fs = self.fs
-        ranges, singles = self._raw_ranges(), []
-        for f in fs.listdir(self.manifest_dir):
-            if not f.endswith(".json"):
+        paths = []
+        b = lo
+        while b <= hi:
+            p = os.path.join(self.data_dir, f"batch_id={b}")
+            if fs.exists(p):
+                paths.append(p)
+                b += 1
                 continue
-            stem = f[:-5]
-            if stem.isdigit():
-                singles.append(int(stem))
-            # any other .json (editor artifact, future metadata file) is
-            # not ours to parse — skipping beats taking down every
-            # read/write/compact path with a ValueError
-        merges = [r for r in ranges if r["kind"] == "merge"]
-        ranges = [
-            r for r in ranges
-            if not any(m is not r and m["lo"] <= r["lo"]
-                       and r["hi"] <= m["hi"] for m in merges)
-        ]
-        covered = set()
-        for r in ranges:
-            covered.update(range(r["lo"], r["hi"] + 1))
-        return ranges, sorted(b for b in singles if b not in covered)
+            subs = [r for r in shadowed
+                    if r["lo"] == b and r["hi"] <= hi
+                    and (allow_merge or r["kind"] == "compact")]
+            # raw-delta compacts beat resolved merge snapshots; then
+            # the widest span (fewest listings)
+            subs.sort(key=lambda r: (r["kind"] != "compact", -r["hi"]))
+            sub = next(
+                (r for r in subs
+                 if fs.exists(os.path.join(self.data_dir, r["dir"]))),
+                None)
+            if sub is None:
+                raise ValueError(expired_msg(b))
+            paths.append(os.path.join(self.data_dir, sub["dir"]))
+            b = sub["hi"] + 1
+        return paths
 
     def _is_covered(self, batch_id: int) -> bool:
         """Covered-by-range check against a CACHED range list (refreshed
@@ -410,22 +462,18 @@ class ExactlyOnceParquetSink:
             if not paths:
                 raise ValueError(f"no committed batches under {self.root}")
             return self._read_paths(spark, paths, merge_schema)
-        fs = self.fs
-        ranges, singles = self._manifest_state()
+        ranges, singles, shadowed = self._manifest_full()
         paths = []
         for r in ranges:
             if r["hi"] <= as_of_batch:
                 paths.append(os.path.join(self.data_dir, r["dir"]))
             elif r["lo"] <= as_of_batch:
-                for b in range(r["lo"], as_of_batch + 1):
-                    p = os.path.join(self.data_dir, f"batch_id={b}")
-                    if not fs.exists(p):
-                        raise ValueError(
-                            f"snapshot as_of_batch={as_of_batch} is "
-                            f"EXPIRED: batch {b} was folded into "
-                            f"{r['dir']} and its "
-                            "per-batch files were vacuumed")
-                    paths.append(p)
+                paths += self._fallback_span_paths(
+                    r["lo"], as_of_batch, shadowed, allow_merge=True,
+                    expired_msg=lambda b, r=r: (
+                        f"snapshot as_of_batch={as_of_batch} is EXPIRED: "
+                        f"batch {b} was folded into {r['dir']} and its "
+                        "per-batch files were vacuumed"))
         paths += [os.path.join(self.data_dir, f"batch_id={b}")
                   for b in singles if b <= as_of_batch]
         if not paths:
@@ -482,8 +530,7 @@ class ExactlyOnceParquetSink:
         :meth:`read_changes` and the streaming source
         (sources/sink_stream.py), so both present the identical EXPIRED
         contract when compaction+vacuum has swept a straddled window."""
-        ranges, singles = self._manifest_state()
-        fs = self.fs
+        ranges, singles, shadowed = self._manifest_full()
         paths = []
         for r in ranges:
             if r["hi"] <= since_batch or r["lo"] > hi:
@@ -494,22 +541,22 @@ class ExactlyOnceParquetSink:
                 continue
             # a merge_ range holds the RESOLVED upsert state, not the
             # window's appended deltas — an incremental read through a
-            # merged span must come from the raw per-batch dirs, and is
-            # EXPIRED once vacuum sweeps them (merge rewrites history)
-            for b in range(max(r["lo"], since_batch + 1),
-                           min(r["hi"], hi) + 1):
-                p = os.path.join(self.data_dir, f"batch_id={b}")
-                if not fs.exists(p):
-                    reason = ("which straddles the window boundary"
-                              if r["kind"] == "compact" else
-                              "whose merged snapshot resolved away the "
-                              "per-row change history")
-                    raise ValueError(
-                        f"incremental window ({since_batch}, {hi}] is "
+            # merged span must come from the raw per-batch dirs (or a
+            # shadowed compact range that fits the window), and is
+            # EXPIRED once vacuum sweeps those (merge rewrites history)
+            def _msg(b, r=r):
+                reason = ("which straddles the window boundary"
+                          if r["kind"] == "compact" else
+                          "whose merged snapshot resolved away the "
+                          "per-row change history")
+                return (f"incremental window ({since_batch}, {hi}] is "
                         f"EXPIRED: batch {b} was folded into "
                         f"{r['dir']} {reason}, and its per-batch files "
                         "were vacuumed")
-                paths.append(p)
+
+            paths += self._fallback_span_paths(
+                max(r["lo"], since_batch + 1), min(r["hi"], hi),
+                shadowed, allow_merge=False, expired_msg=_msg)
         paths += [os.path.join(self.data_dir, f"batch_id={b}")
                   for b in singles if since_batch < b <= hi]
         if not paths:
@@ -633,52 +680,48 @@ class ExactlyOnceParquetSink:
         if retention_s is None:
             retention_s = self.vacuum_retention_s
         now = time.time()
-        raw = self._raw_ranges()
+        raw, singles = self._list_manifests()
         merges = [r for r in raw if r["kind"] == "merge"]
-        surviving = [
-            r for r in raw
-            if not any(m is not r and m["lo"] <= r["lo"]
-                       and r["hi"] <= m["hi"] for m in merges)
-        ]
         covered_old = set()
-        for r in surviving:
+        for r in raw:
+            if self._shadowed_by_merge(r, merges):
+                continue
             if now - fs.mtime(os.path.join(self.manifest_dir, r["file"])) >= retention_s:
                 covered_old.update(range(r["lo"], r["hi"] + 1))
         swept = 0
         # (a0) ranges shadowed by a wider merge range (compact_merge
         # rewrote their span's history): sweepable once the SHADOWING
-        # manifest is past retention — a reader that resolved its file
-        # listing just before the merge published may still be scanning
-        # the shadowed dir. Data before manifest, as everywhere.
+        # manifest is past retention — until then the shadowed range
+        # both serves fallback reads (_fallback_span_paths) and may
+        # still be scanned by a reader that resolved its file listing
+        # just before the merge published. Data before manifest, as
+        # everywhere.
+        old_merges = [
+            m for m in merges
+            if now - fs.mtime(os.path.join(self.manifest_dir, m["file"]))
+            >= retention_s
+        ]
+        swept_dirs = set()
         for r in raw:
-            if r in surviving:
-                continue
-            shadower_old = any(
-                m is not r and m["lo"] <= r["lo"] and r["hi"] <= m["hi"]
-                and now - fs.mtime(os.path.join(self.manifest_dir, m["file"]))
-                >= retention_s
-                for m in merges)
-            if shadower_old:
+            if (self._shadowed_by_merge(r, merges)
+                    and self._shadowed_by_merge(r, old_merges)):
                 fs.delete(os.path.join(self.data_dir, r["dir"]),
                           recursive=True)
                 fs.delete(os.path.join(self.manifest_dir, r["file"]))
+                swept_dirs.add(r["dir"])
                 swept += 1
         # manifests (not just data dirs) that remain published: their
         # data dirs must survive the orphan sweep below even when
         # shadowed-but-unexpired — in-flight readers may hold their paths
-        live_dirs = {r["dir"] for r in self._raw_ranges()}
-        for f in fs.listdir(self.manifest_dir):
-            if (f.endswith(".json")
-                    and not f.startswith(("compact_", "merge_"))
-                    and f[:-5].isdigit()):
-                b = int(f[:-5])
-                if b in covered_old:
-                    # data FIRST, then manifest: the manifest is the
-                    # re-visit marker for a crash between the two deletes
-                    fs.delete(os.path.join(self.data_dir, f"batch_id={b}"),
-                              recursive=True)
-                    fs.delete(os.path.join(self.manifest_dir, f))
-                    swept += 1
+        live_dirs = {r["dir"] for r in raw} - swept_dirs
+        for b in singles:
+            if b in covered_old:
+                # data FIRST, then manifest: the manifest is the
+                # re-visit marker for a crash between the two deletes
+                fs.delete(os.path.join(self.data_dir, f"batch_id={b}"),
+                          recursive=True)
+                fs.delete(os.path.join(self.manifest_dir, f"{b}.json"))
+                swept += 1
         for d in fs.listdir(self.data_dir):
             if (d.startswith(("compact_", "merge_")) and d not in live_dirs
                     and now - self._newest_mtime(os.path.join(self.data_dir, d))
