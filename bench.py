@@ -330,7 +330,11 @@ def _finish(spark, timings, extras, cores):
                      # quality scoring, sequence packing (one shuffle +
                      # per-shard pandas scan)
                      "q97_range_join", "q99_lm_quality",
-                     "q100_pack_sequences"]:
+                     "q100_pack_sequences",
+                     # final-session additions: iterative graph ranking
+                     # and the portable HLL sketch (two-phase register
+                     # agg — the 100 TB alternative to exact DISTINCT)
+                     "q116_pagerank", "q117_hll_distinct"]:
             t0 = time.time()
             q[name](spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)

@@ -285,3 +285,18 @@ def test_bm25_zero_wide_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_hll_registers_two_phase(spark):
+    """q117 (HLL): the register aggregate must be two-phase — map-side
+    partial_max per (group, bucket) before ONE hash Exchange. The
+    shuffle then carries ≤256 small ints per group per partition, never
+    the distinct values themselves."""
+    from pyspark.sql import functions as F
+
+    from watermark_detector_spark.functions.sketches import hll_registers
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(hll_registers(docs, ["lang"], F.col("doc_id")))
+    assert "partial_max" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
