@@ -2479,6 +2479,45 @@ def _q118_sql() -> str:
     """
 
 
+def _q119_cms_frequencies(spark, sf: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates
+    (functions/sketches.py): 200 distinct keys (doc_id%200) squeezed
+    into a deliberately tight d=4 × w=32 sketch so collisions actually
+    occur, probed for every key alongside the exact count — the
+    one-sided overestimate (est >= exact, tested) and the exact
+    estimate values both enter the hash. Scale story: the frequency
+    aggregate shuffles at most d·w counters per partition (never the
+    values), the 128-row sketch broadcasts into the probe join, and
+    sketches merge by element-wise sum for shard→corpus rollups."""
+    from watermark_detector_spark.functions.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    vals = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 200).alias("v"))
+    cms = cms_table(vals, F.col("v"), d=4, w=32)
+    est = cms_estimate(cms, vals.distinct(), F.col("v"), d=4, w=32)
+    exact = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return est.join(exact, "v").select("v", "est_count", "n_exact")
+
+
+def _q119_sql() -> str:
+    from watermark_detector_spark.functions.sketches import cms_sql
+
+    inner = cms_sql(
+        "documents", "doc_id % 200",
+        "SELECT DISTINCT doc_id % 200 AS v FROM documents", "v",
+        d=4, w=32)
+    return f"""
+        SELECT e.v, e.est_count, x.n_exact
+        FROM ({inner}) e
+        JOIN (SELECT doc_id % 200 AS v, CAST(count(*) AS BIGINT) AS n_exact
+              FROM documents GROUP BY 1) x USING (v)
+    """
+
+
 def _q105_url_canonical_dedup(spark, sf: str) -> DataFrame:
     """URL-level dedup by CANONICAL URL (Common Crawl's own first-pass
     dedup key; functions/domains.url_canonicalize): case, default
@@ -2525,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_pagerank": _q116_pagerank,
         "q117_hll_distinct": _q117_hll_distinct,
         "q118_stream_hll": _q118_stream_hll,
+        "q119_cms_frequencies": _q119_cms_frequencies,
         "q84_warcish_source": _q84_warcish_source,
         "q97_range_join": _q97_range_join,
         "q98_decontaminate_bloom": _q98_decontaminate_bloom,
@@ -2971,6 +3011,7 @@ def oracle_sql() -> dict[str, str]:
         "q116_pagerank": _pagerank_sql(),
         "q117_hll_distinct": _q117_sql(),
         "q118_stream_hll": _q118_sql(),
+        "q119_cms_frequencies": _q119_sql(),
         "q104_sink_incremental": """
             SELECT lang,
                    count(*) AS n_docs,

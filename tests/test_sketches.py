@@ -55,6 +55,53 @@ def test_nulls_do_not_count(spark):
     assert hll_distinct(only_null, ["g"], F.col("v")).count() == 0
 
 
+def _skewed(spark):
+    # Zipf-ish: value v appears (20 - v) times for v in 0..19
+    return spark.range(20).selectExpr(
+        "explode(sequence(1, 20 - id)) AS _i", "id AS v").select("v")
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    from watermark_detector_spark.functions.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    df = _skewed(spark)
+    exact = {r["v"]: r["n"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # tight sketch (w=8): collisions certain, but never an underestimate
+    tight = cms_estimate(cms_table(df, F.col("v"), d=3, w=8),
+                         df.distinct(), F.col("v"), d=3, w=8)
+    for r in tight.collect():
+        assert r["est_count"] >= exact[r["v"]]
+    # roomy sketch (w=1024, d=4): 20 keys collide with prob ~0 -> exact
+    roomy = cms_estimate(cms_table(df, F.col("v"), d=4, w=1024),
+                         df.distinct(), F.col("v"), d=4, w=1024)
+    assert {r["v"]: r["est_count"] for r in roomy.collect()} == exact
+
+
+def test_cms_merges_by_sum(spark):
+    from watermark_detector_spark.functions.sketches import cms_table
+
+    df = _skewed(spark)
+    a, b = df.where("v < 10"), df.where("v >= 10")
+    merged = (cms_table(a, F.col("v"), d=2, w=16)
+              .unionByName(cms_table(b, F.col("v"), d=2, w=16))
+              .groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt")))
+    direct = cms_table(df, F.col("v"), d=2, w=16)
+    as_map = lambda t: {(r["depth"], r["bucket"]): r["cnt"]
+                        for r in t.collect()}
+    assert as_map(merged) == as_map(direct)
+
+
+def test_cms_validates_shape(spark):
+    from watermark_detector_spark.functions.sketches import cms_table
+
+    with pytest.raises(ValueError, match="d >= 1"):
+        cms_table(_skewed(spark), F.col("v"), d=0, w=16)
+
+
 def test_hll_validates_precision(spark):
     with pytest.raises(ValueError, match="multiple of 4"):
         hll_registers(_vals(spark, 5), ["g"], F.col("v"), p=10)

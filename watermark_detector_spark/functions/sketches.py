@@ -1,5 +1,5 @@
-"""Portable cardinality sketches: HyperLogLog over md5, pure built-in
-expressions.
+"""Portable sketches over md5, pure built-in expressions: HyperLogLog
+(distinct counting) and count-min (point frequencies / heavy hitters).
 
 Spark ships approx_count_distinct (HLL++), but its register layout is
 engine-private — results can't be reproduced, merged, or audited
@@ -112,6 +112,99 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value: Column,
     """approx-count-distinct of ``value`` per group via portable HLL."""
     return hll_estimate(hll_registers(df, group_cols, value, p),
                         group_cols, p)
+
+
+def _cms_bucket(value: Column, depth: int, w: int) -> Column:
+    """Row ``depth``'s bucket for ``value``: 32 bits of md5 salted with
+    the depth index, mod w. Pure md5+conv — engine-portable."""
+    h = F.md5(F.concat(F.lit(f"{depth}:"), value.cast("string"))
+              .cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+            % F.lit(w)).cast("int")
+
+
+def cms_table(df: DataFrame, value: Column, d: int = 4, w: int = 256,
+              weight: Column | None = None) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of ``value``'s
+    frequency distribution → ``(depth, bucket, cnt)``, d·w rows total.
+
+    Like the HLL above, every hash is salted md5 — the sketch is
+    reproducible in any SQL engine, and it MERGES by element-wise SUM
+    (sum is two-phase and streams), so per-shard sketches roll up to a
+    corpus sketch without touching the raw values again. At 100 TB this
+    is the bounded-memory answer to "how often does each head domain /
+    token appear": the aggregate shuffles at most d·w counters per
+    input partition, never the values, and the d·w-row result
+    broadcasts into any estimator join. NULL values don't count,
+    mirroring hll_registers."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+    wt = F.lit(1).cast("bigint") if weight is None else weight.cast("bigint")
+    rows = df.where(value.isNotNull()).select(
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("depth"),
+                     _cms_bucket(value, j, w).alias("bucket"))
+            for j in range(d)])).alias("_cell"),
+        wt.alias("_w"))
+    return (rows.select("_cell.depth", "_cell.bucket", "_w")
+            .groupBy("depth", "bucket")
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_estimate(cms: DataFrame, keys: DataFrame, value: Column,
+                 d: int = 4, w: int = 256) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``: est =
+    min over the d rows of that value's counter (the classic
+    one-sided overestimate — collisions only ever inflate). The d·w-row
+    sketch is broadcast into the probe join, so estimating frequencies
+    for N keys costs one broadcast join + a d-way min — the keys table
+    never shuffles against the corpus."""
+    key_cols = list(keys.columns)
+    probes = keys.select(
+        *key_cols,
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("depth"),
+                     _cms_bucket(value, j, w).alias("bucket"))
+            for j in range(d)])).alias("_cell")
+    ).select(*key_cols, F.col("_cell.depth").alias("_pd"),
+             F.col("_cell.bucket").alias("_pb"))
+    joined = probes.join(
+        F.broadcast(cms),
+        (probes["_pd"] == cms["depth"]) & (probes["_pb"] == cms["bucket"]),
+        "left")
+    return (joined.groupBy(*[probes[c] for c in key_cols])
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
+                 .alias("est_count")))
+
+
+def cms_sql(table: str, value_sql: str, keys_sql: str, key_col: str,
+            d: int = 4, w: int = 256) -> str:
+    """DuckDB replay of cms_table + cms_estimate: build the sketch from
+    ``table``/``value_sql``, probe it with ``keys_sql`` (a query whose
+    column ``key_col`` lists the values to estimate)."""
+    def bucket(j: int, v: str) -> str:
+        return (f"(('0x' || substring(md5('{j}:' || CAST({v} AS VARCHAR))"
+                f", 1, 8))::BIGINT % {w})")
+
+    cells = " UNION ALL ".join(
+        f"SELECT {j} AS depth, {bucket(j, value_sql)} AS bucket, "
+        f"1::BIGINT AS w FROM {table} WHERE ({value_sql}) IS NOT NULL"
+        for j in range(d))
+    probes = " UNION ALL ".join(
+        f"SELECT {key_col}, {j} AS depth, "
+        f"{bucket(j, key_col)} AS bucket FROM keys"
+        for j in range(d))
+    return f"""
+        WITH cms AS (
+            SELECT depth, bucket, CAST(sum(w) AS BIGINT) AS cnt
+            FROM ({cells}) cells GROUP BY depth, bucket),
+        keys AS ({keys_sql}),
+        probes AS ({probes})
+        SELECT probes.{key_col},
+               min(coalesce(cms.cnt, 0)) AS est_count
+        FROM probes LEFT JOIN cms USING (depth, bucket)
+        GROUP BY probes.{key_col}
+    """
 
 
 def hll_sql(table: str, group_cols: list[str], value_sql: str,
