@@ -2443,6 +2443,9 @@ def _q118_stream_hll(spark, sf: str) -> DataFrame:
     bucket, rho = hll_bucket_rho(F.col("user_id"), p=8)
     regs = (
         src.withWatermark("ts", "10 minutes")
+        # NULLs don't count toward cardinality — mirrors hll_registers
+        # and the oracle's WHERE, which hll_sql applies
+        .where(F.col("user_id").isNotNull())
         .groupBy(F.window("ts", "15 minutes").alias("w15"),
                  bucket.alias("bucket"))
         .agg(F.max(rho).alias("reg"))
@@ -2497,7 +2500,7 @@ def _q119_cms_frequencies(spark, sf: str) -> DataFrame:
     vals = _t(spark, sf, "documents").select(
         (F.col("doc_id") % 200).alias("v"))
     cms = cms_table(vals, F.col("v"), d=4, w=32)
-    est = cms_estimate(cms, vals.distinct(), F.col("v"), d=4, w=32)
+    est = cms_estimate(cms, vals.distinct(), F.col("v"))
     exact = vals.groupBy("v").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     return est.join(exact, "v").select("v", "est_count", "n_exact")

@@ -72,12 +72,12 @@ def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
              df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
     # tight sketch (w=8): collisions certain, but never an underestimate
     tight = cms_estimate(cms_table(df, F.col("v"), d=3, w=8),
-                         df.distinct(), F.col("v"), d=3, w=8)
+                         df.distinct(), F.col("v"))
     for r in tight.collect():
         assert r["est_count"] >= exact[r["v"]]
     # roomy sketch (w=1024, d=4): 20 keys collide with prob ~0 -> exact
     roomy = cms_estimate(cms_table(df, F.col("v"), d=4, w=1024),
-                         df.distinct(), F.col("v"), d=4, w=1024)
+                         df.distinct(), F.col("v"))
     assert {r["v"]: r["est_count"] for r in roomy.collect()} == exact
 
 
@@ -88,7 +88,8 @@ def test_cms_merges_by_sum(spark):
     a, b = df.where("v < 10"), df.where("v >= 10")
     merged = (cms_table(a, F.col("v"), d=2, w=16)
               .unionByName(cms_table(b, F.col("v"), d=2, w=16))
-              .groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt")))
+              .groupBy("depth", "bucket", "d", "w")
+              .agg(F.sum("cnt").alias("cnt")))
     direct = cms_table(df, F.col("v"), d=2, w=16)
     as_map = lambda t: {(r["depth"], r["bucket"]): r["cnt"]
                         for r in t.collect()}
@@ -96,10 +97,20 @@ def test_cms_merges_by_sum(spark):
 
 
 def test_cms_validates_shape(spark):
-    from watermark_detector_spark.functions.sketches import cms_table
+    from watermark_detector_spark.functions.sketches import (
+        cms_estimate,
+        cms_table,
+    )
 
     with pytest.raises(ValueError, match="d >= 1"):
         cms_table(_skewed(spark), F.col("v"), d=0, w=16)
+    cms = cms_table(_skewed(spark), F.col("v"), d=2, w=16)
+    with pytest.raises(ValueError, match="collide"):
+        cms_estimate(cms, _skewed(spark).withColumnRenamed("v", "cnt"),
+                     F.col("cnt"))
+    empty = cms_table(_skewed(spark).where("v < 0"), F.col("v"))
+    with pytest.raises(ValueError, match="empty count-min"):
+        cms_estimate(empty, _skewed(spark).distinct(), F.col("v"))
 
 
 def test_hll_validates_precision(spark):

@@ -153,6 +153,11 @@ def test_remerge_falls_back_to_shadowed_merge_snapshot(
     sink.write_batch(_mk(spark, [(0, 999, 3, False)]), 3)
     sink.compact_merge(spark, vacuum=False)  # merge_0-3 shadows merge_0-2
     assert _current(sink, spark, as_of_batch=2) == EXPECTED
+    # the merge-snapshot substitute holds RESOLVED rows, so it serves
+    # only read_current; a raw read() keeps its raw-delta contract and
+    # is EXPIRED rather than silently switching row multisets
+    with pytest.raises(ValueError, match="EXPIRED"):
+        sink.read(spark, as_of_batch=2)
     # but a CHANGE read through the merged span stays expired: a merge
     # snapshot is not a changelog
     with pytest.raises(ValueError, match="EXPIRED"):

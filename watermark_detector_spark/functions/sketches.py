@@ -146,19 +146,42 @@ def cms_table(df: DataFrame, value: Column, d: int = 4, w: int = 256,
                      _cms_bucket(value, j, w).alias("bucket"))
             for j in range(d)])).alias("_cell"),
         wt.alias("_w"))
+    # (d, w) travel WITH the sketch so cms_estimate can never probe
+    # with mismatched shape parameters (a wrong w silently
+    # under-estimates — the one failure mode CMS must not have)
     return (rows.select("_cell.depth", "_cell.bucket", "_w")
             .groupBy("depth", "bucket")
-            .agg(F.sum("_w").alias("cnt")))
+            .agg(F.sum("_w").alias("cnt"))
+            .withColumn("d", F.lit(d)).withColumn("w", F.lit(w)))
 
 
-def cms_estimate(cms: DataFrame, keys: DataFrame, value: Column,
-                 d: int = 4, w: int = 256) -> DataFrame:
+_CMS_RESERVED = frozenset({"depth", "bucket", "cnt", "d", "w",
+                           "_pd", "_pb", "_cell"})
+
+
+def cms_estimate(cms: DataFrame, keys: DataFrame,
+                 value: Column) -> DataFrame:
     """Point-frequency estimates for every row of ``keys``: est =
     min over the d rows of that value's counter (the classic
-    one-sided overestimate — collisions only ever inflate). The d·w-row
-    sketch is broadcast into the probe join, so estimating frequencies
-    for N keys costs one broadcast join + a d-way min — the keys table
-    never shuffles against the corpus."""
+    one-sided overestimate — collisions only ever inflate). The sketch
+    shape (d, w) is read from the sketch itself, so probes can never
+    hash with mismatched parameters. The d·w-row sketch is broadcast
+    into the probe join, so estimating frequencies for N keys costs one
+    broadcast join + a d-way min — the keys table never shuffles
+    against the corpus."""
+    clash = _CMS_RESERVED & set(keys.columns)
+    if clash:
+        raise ValueError(
+            f"keys column(s) {sorted(clash)} collide with the sketch's "
+            "internal columns — rename them before probing")
+    # materialize the (tiny, d·w-row) sketch ONCE: the shape lookup
+    # below and the broadcast probe join both read the checkpointed
+    # blocks instead of re-running the corpus aggregation twice
+    cms = cms.localCheckpoint(eager=True)
+    meta = cms.select("d", "w").first()
+    if meta is None:
+        raise ValueError("empty count-min sketch: nothing was counted")
+    d, w = meta["d"], meta["w"]
     key_cols = list(keys.columns)
     probes = keys.select(
         *key_cols,

@@ -266,31 +266,40 @@ class ExactlyOnceParquetSink:
         are already vacuumed and the range's whole span fits inside
         ``[lo, hi]`` — publishing a merge must not EXPIRE reads that an
         older on-disk range can still serve exactly. ``allow_merge``: a
-        shadowed merge snapshot is a valid substitute for SNAPSHOT
-        reads (the resolved state of its span, exactly what a live
-        merge range would contribute) but never for CHANGE reads (a
-        merge resolves away the per-row change history).
-        ``expired_msg(b)`` renders the error once nothing can serve
-        batch ``b``."""
+        shadowed merge snapshot holds RESOLVED rows, not the raw
+        deltas, so it is a valid last-resort substitute only for reads
+        that resolve afterwards (UpsertSink.read_current) — never for
+        raw snapshot reads (row multiset would silently change) and
+        never for CHANGE reads (a merge resolves away the per-row
+        change history). ``expired_msg(b)`` renders the error once
+        nothing can serve batch ``b``."""
         fs = self.fs
+
+        def _existing(cands):
+            # widest span first (fewest dirs in the final listing)
+            for r in sorted(cands, key=lambda r: -r["hi"]):
+                if fs.exists(os.path.join(self.data_dir, r["dir"])):
+                    return r
+            return None
+
         paths = []
         b = lo
         while b <= hi:
-            p = os.path.join(self.data_dir, f"batch_id={b}")
-            if fs.exists(p):
-                paths.append(p)
-                b += 1
-                continue
-            subs = [r for r in shadowed
-                    if r["lo"] == b and r["hi"] <= hi
-                    and (allow_merge or r["kind"] == "compact")]
-            # raw-delta compacts beat resolved merge snapshots; then
-            # the widest span (fewest listings)
-            subs.sort(key=lambda r: (r["kind"] != "compact", -r["hi"]))
-            sub = next(
-                (r for r in subs
-                 if fs.exists(os.path.join(self.data_dir, r["dir"]))),
-                None)
+            fits = [r for r in shadowed if r["lo"] == b and r["hi"] <= hi]
+            # a shadowed compact holds the EXACT raw deltas of its span
+            # — prefer it even over surviving per-batch dirs, so a
+            # partially-swept state (one raw dir left, the rest gone)
+            # can't strand an exact-fit range behind the survivor
+            sub = _existing([r for r in fits if r["kind"] == "compact"])
+            if sub is None:
+                p = os.path.join(self.data_dir, f"batch_id={b}")
+                if fs.exists(p):
+                    paths.append(p)
+                    b += 1
+                    continue
+                if allow_merge:
+                    sub = _existing(
+                        [r for r in fits if r["kind"] == "merge"])
             if sub is None:
                 raise ValueError(expired_msg(b))
             paths.append(os.path.join(self.data_dir, sub["dir"]))
@@ -375,28 +384,24 @@ class ExactlyOnceParquetSink:
         that had not committed yet)."""
         fs = self.fs
         out: dict[int, float] = {}
-        range_files = []
-        for f in fs.listdir(self.manifest_dir):
-            if not f.endswith(".json"):
-                continue
-            stem = f[:-5]
-            if stem.isdigit():
-                try:
-                    m = json.loads(fs.read_text(
-                        os.path.join(self.manifest_dir, f)))
-                    out[int(stem)] = m["committed_at_epoch"]
-                except Exception as e:
-                    # a truncated/unreadable per-batch manifest would
-                    # otherwise SILENTLY shift as_of_timestamp reads to
-                    # an older batch — surface the skip
-                    warnings.warn(
-                        f"skipping unreadable manifest {f} while "
-                        f"building the commit-time ledger: {e!r} — "
-                        f"as_of_timestamp resolution may be stale for "
-                        f"timestamps at or after this batch's commit",
-                        stacklevel=2)
-            elif stem.startswith(("compact_", "merge_")):
-                range_files.append(f)
+        ranges, singles = self._list_manifests()
+        range_files = [r["file"] for r in ranges]
+        for b in singles:
+            f = f"{b}.json"
+            try:
+                m = json.loads(fs.read_text(
+                    os.path.join(self.manifest_dir, f)))
+                out[b] = m["committed_at_epoch"]
+            except Exception as e:
+                # a truncated/unreadable per-batch manifest would
+                # otherwise SILENTLY shift as_of_timestamp reads to
+                # an older batch — surface the skip
+                warnings.warn(
+                    f"skipping unreadable manifest {f} while "
+                    f"building the commit-time ledger: {e!r} — "
+                    f"as_of_timestamp resolution may be stale for "
+                    f"timestamps at or after this batch's commit",
+                    stacklevel=2)
         for f in range_files:
             try:
                 m = json.loads(fs.read_text(
@@ -417,7 +422,8 @@ class ExactlyOnceParquetSink:
     def read(self, spark: SparkSession,
              as_of_batch: int | None = None,
              as_of_timestamp: float | None = None,
-             merge_schema: bool = False) -> DataFrame:
+             merge_schema: bool = False,
+             _allow_merge_fallback: bool = False) -> DataFrame:
         """Read the committed snapshot. With ``as_of_batch`` TIME-TRAVEL
         to the table as of that batch id (Iceberg snapshot-read analog;
         the manifest ledger IS the snapshot history): only batches with
@@ -441,7 +447,14 @@ class ExactlyOnceParquetSink:
         (new columns) union with older batches, which surface NULL for
         the added columns. Off by default — the merged-footer scan
         reads every file's footer up front, a cost only evolved tables
-        should pay."""
+        should pay.
+
+        ``_allow_merge_fallback`` (internal, set by
+        ``UpsertSink.read_current``): lets a time-travel read through a
+        vacuumed span substitute a shadowed merge SNAPSHOT — resolved
+        rows, not raw deltas — which is only sound for callers that
+        resolve the result afterwards. Raw ``read()`` keeps its
+        raw-row-multiset contract and raises EXPIRED instead."""
         if as_of_timestamp is not None:
             if as_of_batch is not None:
                 raise ValueError(
@@ -469,7 +482,8 @@ class ExactlyOnceParquetSink:
                 paths.append(os.path.join(self.data_dir, r["dir"]))
             elif r["lo"] <= as_of_batch:
                 paths += self._fallback_span_paths(
-                    r["lo"], as_of_batch, shadowed, allow_merge=True,
+                    r["lo"], as_of_batch, shadowed,
+                    allow_merge=_allow_merge_fallback,
                     expired_msg=lambda b, r=r: (
                         f"snapshot as_of_batch={as_of_batch} is EXPIRED: "
                         f"batch {b} was folded into {r['dir']} and its "
@@ -862,7 +876,8 @@ class UpsertSink(ExactlyOnceParquetSink):
         shuffle); otherwise it is merge-on-read — one key-partitioned
         hash aggregate over base + deltas."""
         df = self.read(spark, as_of_batch=as_of_batch,
-                       as_of_timestamp=as_of_timestamp)
+                       as_of_timestamp=as_of_timestamp,
+                       _allow_merge_fallback=True)
         if not (as_of_batch is None and as_of_timestamp is None
                 and self._fully_merged()):
             df = self._resolved(df)
