@@ -2521,6 +2521,51 @@ def _q119_sql() -> str:
     """
 
 
+def _q120_bloom_membership(spark, sf: str) -> DataFrame:
+    """Portable Bloom-filter membership (functions/sketches.py),
+    rounding out the sketch trio (HLL distinct / CMS frequency / Bloom
+    membership) and giving q98's decontamination gate an
+    engine-portable variant: the holdout's value set (doc_id%300 of
+    docs with doc_id%7==3) becomes a k=3, m=256 bit set — deliberately
+    tight so false positives occur — probed for every distinct value
+    alongside exact membership. No false negative is possible (tested);
+    the exact FP pattern is reproduced bit-for-bit by the DuckDB
+    oracle since the bits are salted md5. Scale story: the ≤m-row bit
+    set broadcasts into the probe join, so membership-testing a corpus
+    against a holdout never shuffles the corpus."""
+    from watermark_detector_spark.functions.sketches import (
+        bloom_bits,
+        bloom_contains,
+    )
+
+    vals = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 300).alias("v"), "doc_id")
+    hold = vals.where(F.col("doc_id") % 7 == 3).select("v")
+    bits = bloom_bits(hold, F.col("v"), k=3, m=256)
+    probed = bloom_contains(bits, vals.select("v").distinct(), F.col("v"))
+    exact = vals.groupBy("v").agg(
+        (F.sum(F.when(F.col("doc_id") % 7 == 3, 1).otherwise(0)) > 0)
+        .alias("exact_member"))
+    return probed.join(exact, "v").select("v", "in_bloom", "exact_member")
+
+
+def _q120_sql() -> str:
+    from watermark_detector_spark.functions.sketches import bloom_sql
+
+    inner = bloom_sql(
+        "(SELECT doc_id % 300 AS v FROM documents WHERE doc_id % 7 = 3) h",
+        "v", "SELECT DISTINCT doc_id % 300 AS v FROM documents", "v",
+        k=3, m=256)
+    return f"""
+        SELECT p.v, p.in_bloom, x.exact_member
+        FROM ({inner}) p
+        JOIN (SELECT doc_id % 300 AS v,
+                     (sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) > 0)
+                     AS exact_member
+              FROM documents GROUP BY 1) x USING (v)
+    """
+
+
 def _q105_url_canonical_dedup(spark, sf: str) -> DataFrame:
     """URL-level dedup by CANONICAL URL (Common Crawl's own first-pass
     dedup key; functions/domains.url_canonicalize): case, default
@@ -2568,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_hll_distinct": _q117_hll_distinct,
         "q118_stream_hll": _q118_stream_hll,
         "q119_cms_frequencies": _q119_cms_frequencies,
+        "q120_bloom_membership": _q120_bloom_membership,
         "q84_warcish_source": _q84_warcish_source,
         "q97_range_join": _q97_range_join,
         "q98_decontaminate_bloom": _q98_decontaminate_bloom,
@@ -3015,6 +3061,7 @@ def oracle_sql() -> dict[str, str]:
         "q117_hll_distinct": _q117_sql(),
         "q118_stream_hll": _q118_sql(),
         "q119_cms_frequencies": _q119_sql(),
+        "q120_bloom_membership": _q120_sql(),
         "q104_sink_incremental": """
             SELECT lang,
                    count(*) AS n_docs,

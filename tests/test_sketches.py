@@ -113,6 +113,58 @@ def test_cms_validates_shape(spark):
         cms_estimate(empty, _skewed(spark).distinct(), F.col("v"))
 
 
+def test_bloom_no_false_negatives_and_roomy_exactness(spark):
+    from watermark_detector_spark.functions.sketches import (
+        bloom_bits,
+        bloom_contains,
+    )
+
+    members = spark.range(50).select(F.col("id").alias("v"))
+    probes = spark.range(200).select(F.col("id").alias("v"))
+    # tight filter: every member MUST test positive (no false negative)
+    tight = bloom_contains(bloom_bits(members, F.col("v"), k=3, m=64),
+                           probes, F.col("v"))
+    got = {r["v"]: r["in_bloom"] for r in tight.collect()}
+    assert all(got[v] for v in range(50))
+    # roomy filter: membership is exact for this key count
+    roomy = bloom_contains(bloom_bits(members, F.col("v"), k=3, m=65536),
+                           probes, F.col("v"))
+    assert {r["v"] for r in roomy.collect() if r["in_bloom"]} == set(
+        range(50))
+
+
+def test_bloom_bits_merge_by_union(spark):
+    from watermark_detector_spark.functions.sketches import bloom_bits
+
+    a = spark.range(30).select(F.col("id").alias("v"))
+    b = spark.range(20, 60).select(F.col("id").alias("v"))
+    both = a.unionByName(b)
+    merged = (bloom_bits(a, F.col("v"), k=2, m=128)
+              .unionByName(bloom_bits(b, F.col("v"), k=2, m=128))
+              .distinct())
+    direct = bloom_bits(both, F.col("v"), k=2, m=128)
+    as_set = lambda t: {r["bit"] for r in t.collect()}
+    assert as_set(merged) == as_set(direct)
+
+
+def test_bloom_validates(spark):
+    from watermark_detector_spark.functions.sketches import (
+        bloom_bits,
+        bloom_contains,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="k >= 1"):
+        bloom_bits(df, F.col("v"), k=0)
+    bits = bloom_bits(df, F.col("v"), k=2, m=64)
+    with pytest.raises(ValueError, match="collide"):
+        bloom_contains(bits, df.withColumnRenamed("v", "bit"),
+                       F.col("bit"))
+    with pytest.raises(ValueError, match="empty bloom"):
+        bloom_contains(bloom_bits(df.where("v < 0"), F.col("v")),
+                       df, F.col("v"))
+
+
 def test_hll_validates_precision(spark):
     with pytest.raises(ValueError, match="multiple of 4"):
         hll_registers(_vals(spark, 5), ["g"], F.col("v"), p=10)

@@ -230,6 +230,89 @@ def cms_sql(table: str, value_sql: str, keys_sql: str, key_col: str,
     """
 
 
+def _bloom_bit(value: Column, j: int, m: int) -> Column:
+    """Hash function j's bit position for ``value`` — same salted-md5
+    construction as the CMS buckets."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), value.cast("string"))
+              .cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+            % F.lit(m)).cast("int")
+
+
+def bloom_bits(df: DataFrame, value: Column, k: int = 4,
+               m: int = 4096) -> DataFrame:
+    """Bloom filter of ``value``'s distinct set → the SET BITS as rows
+    ``(bit, k, m)`` (≤ m rows). Completing the portable-sketch trio:
+    HLL answers "how many distinct", CMS "how often", Bloom "have I
+    seen this" — all on the same salted-md5 hashing, so any SQL engine
+    reproduces the identical filter. The bit set merges by plain UNION
+    (DISTINCT), streams (distinct per micro-batch, union downstream),
+    and broadcasts into probe joins: membership-testing a corpus
+    against a holdout costs one broadcast semi-ish join, never a
+    shuffle of the corpus — the portable alternative to q98's
+    engine-private bloom_filter_agg. (k, m) travel with the bits, as
+    with the CMS. NULLs are not members."""
+    if k < 1 or m < 2:
+        raise ValueError(f"need k >= 1 and m >= 2, got k={k}, m={m}")
+    return (df.where(value.isNotNull())
+            .select(F.explode(F.array(*[
+                _bloom_bit(value, j, m) for j in range(k)])).alias("bit"))
+            .distinct()
+            .withColumn("k", F.lit(k)).withColumn("m", F.lit(m)))
+
+
+def bloom_contains(bits: DataFrame, keys: DataFrame,
+                   value: Column) -> DataFrame:
+    """``keys`` + ``in_bloom``: true iff ALL k of the value's bits are
+    set — no false negatives, false positives at the textbook
+    (1-e^{-kn/m})^k rate. The ≤m-row bit set is broadcast; the probe
+    is one join + a count-of-hits == k per key."""
+    clash = {"bit", "k", "m", "_pb"} & set(keys.columns)
+    if clash:
+        raise ValueError(
+            f"keys column(s) {sorted(clash)} collide with the filter's "
+            "internal columns — rename them before probing")
+    bits = bits.localCheckpoint(eager=True)  # tiny; one materialization
+    meta = bits.select("k", "m").first()
+    if meta is None:
+        raise ValueError("empty bloom filter: nothing was added")
+    k, m = meta["k"], meta["m"]
+    key_cols = list(keys.columns)
+    probes = keys.select(
+        *key_cols,
+        F.explode(F.array(*[
+            _bloom_bit(value, j, m) for j in range(k)])).alias("_pb"))
+    joined = probes.join(F.broadcast(bits),
+                         probes["_pb"] == bits["bit"], "left")
+    return (joined.groupBy(*[probes[c] for c in key_cols])
+            .agg((F.count(F.col("bit")) == k).alias("in_bloom")))
+
+
+def bloom_sql(table: str, value_sql: str, keys_sql: str, key_col: str,
+              k: int = 4, m: int = 4096) -> str:
+    """DuckDB replay of bloom_bits + bloom_contains."""
+    def bit(j: int, v: str) -> str:
+        return (f"(('0x' || substring(md5('{j}:' || CAST({v} AS VARCHAR))"
+                f", 1, 8))::BIGINT % {m})")
+
+    set_bits = " UNION ".join(
+        f"SELECT {bit(j, value_sql)} AS bit FROM {table} "
+        f"WHERE ({value_sql}) IS NOT NULL"
+        for j in range(k))
+    probes = " UNION ALL ".join(
+        f"SELECT {key_col}, {bit(j, key_col)} AS pb FROM keys"
+        for j in range(k))
+    return f"""
+        WITH bits AS ({set_bits}),
+        keys AS ({keys_sql}),
+        probes AS ({probes})
+        SELECT probes.{key_col},
+               (count(bits.bit) = {k}) AS in_bloom
+        FROM probes LEFT JOIN bits ON probes.pb = bits.bit
+        GROUP BY probes.{key_col}
+    """
+
+
 def hll_sql(table: str, group_cols: list[str], value_sql: str,
             p: int = 8) -> str:
     """The DuckDB replay of hll_distinct — same hash, same registers,
