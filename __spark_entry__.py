@@ -2566,6 +2566,57 @@ def _q120_sql() -> str:
     """
 
 
+def _q121_stream_bloom_decon(spark, sf: str) -> DataFrame:
+    """STREAMING ingest-time decontamination via the portable Bloom
+    filter: the holdout's (doc_id%7==3) exact texts become a static
+    k=3, m=256 bit set; the document stream is gated by
+    sketches.bloom_probe_join — k broadcast stream-static LEFT joins,
+    completely STATELESS (no watermark, no state store), emitting only
+    docs whose text is not (bloom-)contained. No false negatives means
+    no contaminated doc survives; the deterministic false-positive
+    collateral is reproduced exactly by the oracle, which replays the
+    same salted-md5 bit test in batch SQL."""
+    from watermark_detector_spark.functions.sketches import (
+        bloom_bits,
+        bloom_probe_join,
+    )
+
+    hold = (_t(spark, sf, "documents")
+            .where(F.col("doc_id") % 7 == 3).select("text"))
+    bits = bloom_bits(hold, F.col("text"), k=3, m=256)
+    src = _documents_stream(spark, sf)
+    gated = (bloom_probe_join(src, bits, F.col("text"))
+             .where(~F.col("in_bloom"))
+             .select("doc_id"))
+    name = "wmd_q121_" + uuid.uuid4().hex[:8]
+    _run_to_memory(gated, name, "append")
+    return spark.table(name)
+
+
+def _q121_sql() -> str:
+    k, m = 3, 256
+
+    def bit(j: int, v: str) -> str:
+        return (f"(('0x' || substring(md5('{j}:' || CAST({v} AS VARCHAR))"
+                f", 1, 8))::BIGINT % {m})")
+
+    set_bits = " UNION ".join(
+        f"SELECT {bit(j, 'text')} AS bit FROM documents "
+        "WHERE doc_id % 7 = 3" for j in range(k))
+    probes = " UNION ALL ".join(
+        f"SELECT doc_id, {bit(j, 'text')} AS pb FROM documents"
+        for j in range(k))
+    return f"""
+        WITH bits AS ({set_bits}),
+        probes AS ({probes}),
+        member AS (
+            SELECT probes.doc_id, (count(bits.bit) = {k}) AS in_bloom
+            FROM probes LEFT JOIN bits ON probes.pb = bits.bit
+            GROUP BY probes.doc_id)
+        SELECT doc_id FROM member WHERE NOT in_bloom
+    """
+
+
 def _q105_url_canonical_dedup(spark, sf: str) -> DataFrame:
     """URL-level dedup by CANONICAL URL (Common Crawl's own first-pass
     dedup key; functions/domains.url_canonicalize): case, default
@@ -2614,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_stream_hll": _q118_stream_hll,
         "q119_cms_frequencies": _q119_cms_frequencies,
         "q120_bloom_membership": _q120_bloom_membership,
+        "q121_stream_bloom_decon": _q121_stream_bloom_decon,
         "q84_warcish_source": _q84_warcish_source,
         "q97_range_join": _q97_range_join,
         "q98_decontaminate_bloom": _q98_decontaminate_bloom,
@@ -3062,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
         "q118_stream_hll": _q118_sql(),
         "q119_cms_frequencies": _q119_sql(),
         "q120_bloom_membership": _q120_sql(),
+        "q121_stream_bloom_decon": _q121_sql(),
         "q104_sink_incremental": """
             SELECT lang,
                    count(*) AS n_docs,

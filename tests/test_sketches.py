@@ -147,6 +147,30 @@ def test_bloom_bits_merge_by_union(spark):
     assert as_set(merged) == as_set(direct)
 
 
+def test_bloom_probe_join_matches_aggregate_form(spark):
+    """The stateless k-join probe (streaming-safe) and the groupBy
+    probe must agree verdict-for-verdict, and the joins must not
+    multiply rows."""
+    from watermark_detector_spark.functions.sketches import (
+        bloom_bits,
+        bloom_contains,
+        bloom_probe_join,
+    )
+
+    members = spark.range(40).select(F.col("id").alias("v"))
+    probes = spark.range(150).select(F.col("id").alias("v"))
+    bits = bloom_bits(members, F.col("v"), k=3, m=64)
+    via_join = {r["v"]: r["in_bloom"] for r in
+                bloom_probe_join(probes, bits, F.col("v")).collect()}
+    via_agg = {r["v"]: r["in_bloom"] for r in
+               bloom_contains(bits, probes, F.col("v")).collect()}
+    assert via_join == via_agg
+    assert len(via_join) == 150  # no row multiplication
+    with pytest.raises(ValueError, match="collide"):
+        bloom_probe_join(probes.withColumnRenamed("v", "bit"), bits,
+                         F.col("bit"))
+
+
 def test_bloom_validates(spark):
     from watermark_detector_spark.functions.sketches import (
         bloom_bits,

@@ -288,6 +288,39 @@ def bloom_contains(bits: DataFrame, keys: DataFrame,
             .agg((F.count(F.col("bit")) == k).alias("in_bloom")))
 
 
+def bloom_probe_join(df: DataFrame, bits: DataFrame, value: Column,
+                     result_col: str = "in_bloom") -> DataFrame:
+    """``df`` + a boolean ``result_col`` — the STATELESS formulation of
+    the membership probe: k broadcast LEFT joins (one per hash
+    function) against the bit set, ``in_bloom`` = every join hit.
+    Unlike :func:`bloom_contains` there is no aggregation, so this form
+    drops straight into a STREAMING scan (stream-static broadcast
+    joins are stateless — the ingest-time decontamination gate) and
+    never reshuffles ``df``. Each bit value is unique in ``bits``, so
+    the left joins cannot multiply rows."""
+    clash = ({"bit", "k", "m", result_col}
+             | {f"_b{j}" for j in range(64)}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"df column(s) {sorted(clash)} collide with the probe's "
+            "internal columns — rename them before probing")
+    bits = bits.localCheckpoint(eager=True)  # tiny; one materialization
+    meta = bits.select("k", "m").first()
+    if meta is None:
+        raise ValueError("empty bloom filter: nothing was added")
+    k, m = meta["k"], meta["m"]
+    out = df
+    for j in range(k):
+        bj = bits.select(F.col("bit").alias(f"_b{j}"))
+        out = out.join(F.broadcast(bj),
+                       _bloom_bit(value, j, m) == F.col(f"_b{j}"), "left")
+    hit = F.lit(True)
+    for j in range(k):
+        hit = hit & F.col(f"_b{j}").isNotNull()
+    return out.withColumn(result_col, hit).drop(
+        *[f"_b{j}" for j in range(k)])
+
+
 def bloom_sql(table: str, value_sql: str, keys_sql: str, key_col: str,
               k: int = 4, m: int = 4096) -> str:
     """DuckDB replay of bloom_bits + bloom_contains."""
