@@ -1248,12 +1248,17 @@ def _q92_stream_neardup_gate(spark, sf: str) -> DataFrame:
     oracle replays it exactly: rank per bucket over ALL docs in
     (ts, doc_id) order, keep = first in every band, emitted iff
     ts < final watermark (max ts, ms floor, - 1 min)."""
-    from watermark_detector_spark.streaming.state import near_dup_gate_stream
+    from watermark_detector_spark.streaming.state import (
+        near_dup_gate_stream,
+        stateful_check_disabled,
+    )
 
     src = _documents_stream(spark, sf)
-    gate = near_dup_gate_stream(src, n_bands=4, n=3, watermark="1 minute")
-    name = "wmd_q92_" + uuid.uuid4().hex[:8]
-    _run_to_memory(gate, name, "append")
+    with stateful_check_disabled(spark):
+        gate = near_dup_gate_stream(src, n_bands=4, n=3,
+                                    watermark="1 minute")
+        name = "wmd_q92_" + uuid.uuid4().hex[:8]
+        _run_to_memory(gate, name, "append")
     return spark.table(name).select(
         "doc_id",
         F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
@@ -3306,7 +3311,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLES_CTE},
             b AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh)
             SELECT doc_id, CAST(band AS BIGINT) AS band,
-                   min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                   min(substr(md5(shingle), band*8 + 1, 8)) AS minhash
             FROM b GROUP BY doc_id, band
         """,
         "q19_simhash": _simhash_sql(16),
@@ -3351,7 +3356,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLES_CTE},
             b AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
             sig AS (SELECT doc_id, band,
-                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                           min(substr(md5(shingle), band*8 + 1, 8)) AS minhash
                     FROM b GROUP BY doc_id, band)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
@@ -3728,7 +3733,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE {_SHINGLES_CTE},
             bnd AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
             sig AS (SELECT doc_id, band,
-                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                           min(substr(md5(shingle), band*8 + 1, 8)) AS minhash
                     FROM bnd GROUP BY doc_id, band),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
@@ -3773,7 +3778,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLES_CTE},
             bnd AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
             sig AS (SELECT doc_id, band,
-                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                           min(substr(md5(shingle), band*8 + 1, 8)) AS minhash
                     FROM bnd GROUP BY doc_id, band),
             cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
                      FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
@@ -3992,7 +3997,7 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(0, 4)) AS band FROM sh),
             sigs AS (
               SELECT doc_id, ts, band,
-                     min(md5(CAST(band AS VARCHAR) || ':' || shingle))
+                     min(substr(md5(shingle), band*8 + 1, 8))
                        AS minhash
               FROM b GROUP BY doc_id, ts, band),
             ranked AS (
@@ -4571,7 +4576,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLES_CTE},
             bnd AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
             sig AS (SELECT doc_id, band,
-                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                           min(substr(md5(shingle), band*8 + 1, 8)) AS minhash
                     FROM bnd GROUP BY doc_id, band),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
@@ -4841,7 +4846,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE {_SHINGLES_CTE},
             bnd AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
             sig AS (SELECT doc_id, band,
-                           min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+                           min(substr(md5(shingle), band*8 + 1, 8)) AS minhash
                     FROM bnd GROUP BY doc_id, band),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash

@@ -502,11 +502,28 @@ def test_dedup_queries_leave_no_cached_storage(spark):
         return ids
 
     # delta-based: the shared test session may hold localCheckpoint RDDs
-    # from earlier tests (released by GC, not by unpersist) — the claim
-    # here is that the dedup operators themselves pin NOTHING new
+    # from earlier tests (released by GC, not by unpersist) — the claim:
+    # jaccard_pairs pins NOTHING; near_dup_pairs pins exactly its
+    # candidate localCheckpoint (tiny, by design — the q45 plan pin)
+    # for the LIFETIME OF THE RETURNED DATAFRAME, and the ContextCleaner
+    # releases it once the result is garbage-collected — never a
+    # permanent .cache() leak.
+    import gc
+    import time as _time
+
     before = persistent_ids()
     jaccard_pairs(docs, threshold=0.3).collect()
-    near_dup_pairs(docs, threshold=0.3).collect()
+    assert persistent_ids() == before, "jaccard_pairs pinned storage"
+    nd = near_dup_pairs(docs, threshold=0.3)
+    nd.collect()
+    held = persistent_ids() - before
+    assert len(held) <= 1, f"near_dup_pairs pinned more than cand: {held}"
+    del nd
+    gc.collect()
+    deadline = _time.time() + 30
+    while persistent_ids() - before and _time.time() < deadline:
+        spark.sparkContext._jvm.System.gc()
+        _time.sleep(0.5)
     leaked = persistent_ids() - before
     assert not leaked, f"dedup operators leaked persistent RDDs: {leaked}"
 

@@ -142,6 +142,22 @@ def test_similarity_dedup_plans_never_cartesian(spark):
             or "BroadcastHashJoin" in lsh_plan), lsh_plan
 
 
+def test_near_dup_confirm_runs_lsh_exactly_once(spark):
+    """q45 (near_dup_pairs): the confirm stage references the LSH
+    candidate set three times (two semi-cuts + the final join). The
+    candidates must be materialized ONCE (persist + eager count, with a
+    finalizer-scoped unpersist) so every reference in the executed plan
+    is an InMemoryTableScan of the cached candidates — a bare
+    re-evaluation of the banded-signature self-join per reference is
+    the +33% q45 regression this pin guards against."""
+    from watermark_detector_spark.operators.dedup import near_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = near_dup_pairs(docs, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
 def test_dedup_clusters_plan_is_keyed_joins_only(spark):
     """Connected components: every round is keyed equi-joins + a keyed
     agg — no cartesian/nested-loop anywhere, and lineage truncation

@@ -1161,7 +1161,10 @@ def test_neardup_gate_stream_semantics(spark, tmp_path_factory):
 
     from datetime import timedelta
 
-    from watermark_detector_spark.streaming.state import near_dup_gate_stream
+    from watermark_detector_spark.streaming.state import (
+        near_dup_gate_stream,
+        stateful_check_disabled,
+    )
 
     T = lambda s: datetime(2024, 1, 1, 10, 0, 0) + timedelta(seconds=s)
     a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -1182,13 +1185,18 @@ def test_neardup_gate_stream_semantics(spark, tmp_path_factory):
         os.utime(p, (1700000000 + i, 1700000000 + i))
     stream = (spark.readStream.schema("doc_id long, ts timestamp, text string")
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
-    gate = near_dup_gate_stream(stream, n_bands=4, n=3,
-                                watermark="1 minute")
-    q = (gate.writeStream.outputMode("append").format("memory")
-         .queryName("ndg_sem")
-         .option("checkpointLocation", str(root / "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(key, "true")
+    with stateful_check_disabled(spark):
+        gate = near_dup_gate_stream(stream, n_bands=4, n=3,
+                                    watermark="1 minute")
+        q = (gate.writeStream.outputMode("append").format("memory")
+             .queryName("ndg_sem")
+             .option("checkpointLocation", str(root / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    # the scoped disable restored the session's safety check
+    assert spark.conf.get(key) == "true"
     out = {r["doc_id"]: (r["keep"], r["n_bands"])
            for r in spark.table("ndg_sem").collect()}
     assert out == {0: (True, 4), 9: (True, 4), 15: (True, 4),

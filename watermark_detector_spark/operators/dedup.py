@@ -17,6 +17,8 @@ which is what makes these oracle-checkable against DuckDB.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -121,17 +123,17 @@ def minhash_bands_col(text, n_bands: int = 4, n: int = 3):
     Catalyst note: ``text`` is referenced once; the shingle array is
     built inside one nested higher-order expression, so whole-stage
     codegen keeps it per-row scratch, never materialized."""
+    if n_bands > 4:
+        raise ValueError(
+            "minhash band family slices the 32-hex md5 digest into "
+            "disjoint 8-hex band hashes — max 4 bands (got %d)" % n_bands)
     toks = tokens_col(text)
     sh = F.array_distinct(_shingles_expr(toks, n))
+    hs = F.transform(sh, lambda s: F.md5(s.cast("binary")))
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.md5(
-                    F.concat(b.cast("string"), F.lit(":"), s)
-                    .cast("binary")),
-            )
+            F.transform(hs, lambda h: h.substr(b * 8 + 1, F.lit(8)))
         ),
     )
     # sequence(1, size-2) DESCENDS when size < n — guard to empty
@@ -142,17 +144,38 @@ def minhash_bands_col(text, n_bands: int = 4, n: int = 3):
 def minhash_signatures(df: DataFrame, n_bands: int = 4, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
     """Per-(doc, band) min-hash over shingles: banded signature table.
-    md5 is the hash family (band salt prepended) — engine-portable."""
+
+    Hash family: band ``b``'s hash of a shingle is the ``b``-th disjoint
+    8-hex slice of ONE md5 digest — ``substr(md5(shingle), 8b+1, 8)`` —
+    so each shingle is hashed once, not once per band (4x less md5 work;
+    the digest's 128 bits give four independent 32-bit minhash functions,
+    and 32 bits is the standard MinHash width). Engine-portable: DuckDB
+    replays it verbatim. Max 4 bands by construction.
+
+    Shape note (measured, do not "simplify"): explode + two-phase
+    groupBy(min) is the FAST form — md5 over exploded rows runs inside
+    whole-stage codegen and partial aggregation folds the per-(doc,
+    band) minimum map-side, so the Exchange carries only docs×bands
+    rows. The tempting zero-shuffle alternative (posexplode of
+    ``minhash_bands_col``) is ~15x SLOWER at sf0.1: nested
+    higher-order-function md5 evaluates interpreted per array element.
+    ``minhash_bands_col`` exists for the STREAMING gate, where a
+    pre-aggregation shuffle is semantically unusable, not as a batch
+    optimization."""
+    if n_bands > 4:
+        raise ValueError(
+            "minhash band family slices the 32-hex md5 digest into "
+            "disjoint 8-hex band hashes — max 4 bands (got %d)" % n_bands)
     sh = shingles(df, id_col, text_col, n)
     bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
     return (
-        sh.select(id_col, "shingle", bands)
+        sh.select(
+            id_col, F.md5(F.col("shingle").cast("binary")).alias("_h"))
+        .select(id_col, bands, "_h")
         .select(
             id_col,
             "band",
-            F.md5(
-                F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")).cast("binary")
-            ).alias("h"),
+            F.col("_h").substr(F.col("band") * 8 + 1, F.lit(8)).alias("h"),
         )
         .groupBy(id_col, "band")
         .agg(F.min("h").alias("minhash"))
@@ -184,7 +207,25 @@ def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
     LEFT SEMI-cut to the candidate ids BEFORE shingling — confirm cost
     tracks the candidate set, never the corpus (the per-doc shingle
     count is per-doc, so cutting does not change it). Returns
-    (a_key, b_key, jaccard) at or above ``threshold``."""
+    (a_key, b_key, jaccard) at or above ``threshold``.
+
+    ``cand`` is referenced THREE times below (both semi-joins plus the
+    final join); it is the output of a banded-signature self-join —
+    a shuffle plus distinct — so it is persisted and materialized ONCE
+    here (tiny: two ids per candidate pair) and every downstream
+    reference scans the cache. Without this the whole LSH candidate
+    subplan re-executes per reference (ReuseExchange only dedupes
+    identical exchange subtrees, not the join above them); measured
+    +33%% on near_dup_pairs at sf0.1 when this was left lazy.
+
+    Lifecycle: persist (NOT localCheckpoint — a checkpointed RDD stays
+    pinned in executor storage for the session lifetime even after the
+    result is dropped) + a ``weakref.finalize`` on the returned frame
+    that unpersists when the caller releases it. persist keeps lineage,
+    so an early unpersist can only cost recomputation, never
+    correctness."""
+    cand = cand.persist()
+    cand.count()  # materialize now: ONE evaluation of the LSH subplan
 
     def _sized(docs: DataFrame, key: str):
         cut = docs.join(
@@ -197,7 +238,7 @@ def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
         F.col(id_col).alias(a_key), "shingle", F.col("n_sh").alias("n_a"))
     sb = _sized(b_docs, b_key).select(
         F.col(id_col).alias(b_key), "shingle", F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         cand.join(sa, a_key)
         .join(sb, [b_key, "shingle"])
         .groupBy(a_key, b_key)
@@ -212,6 +253,17 @@ def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
+    weakref.finalize(out, _unpersist_quietly, cand)
+    return out
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    """Release a cache when its consumer is garbage-collected; the
+    session may already be stopped (interpreter exit), so never raise."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
 
 
 def near_dup_pairs(df: DataFrame, threshold: float = 0.5, n_bands: int = 4,

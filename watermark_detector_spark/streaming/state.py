@@ -17,6 +17,7 @@ Two operators:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Iterator
 
 import pandas as pd
@@ -752,6 +753,38 @@ def _neardup_fn_factory(state_ttl_s: int | None = None):
     return _fn
 
 
+_CHECK_CORRECTNESS_KEY = (
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+
+
+@contextlib.contextmanager
+def stateful_check_disabled(spark):
+    """Scoped disable of Spark's chained-stateful-operator correctness
+    check — the conf ``near_dup_gate_stream`` needs off at query
+    ANALYSIS time (i.e. through ``.start()``). The conf is session-wide
+    (no per-query form), so a bare ``conf.set`` leaks: every later
+    streaming query on the session silently loses the analysis-time
+    safety check. This manager captures the prior value and restores it
+    on exit; wrap construction + ``.start()`` — once the query is
+    started, re-enabling is safe (the check never re-runs per batch)::
+
+        with stateful_check_disabled(spark):
+            q = near_dup_gate_stream(docs).writeStream...start()
+    """
+    try:
+        prior = spark.conf.get(_CHECK_CORRECTNESS_KEY)
+    except Exception:
+        prior = None
+    spark.conf.set(_CHECK_CORRECTNESS_KEY, "false")
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(_CHECK_CORRECTNESS_KEY)
+        else:
+            spark.conf.set(_CHECK_CORRECTNESS_KEY, prior)
+
+
 def near_dup_gate_stream(docs: DataFrame, n_bands: int = 4, n: int = 3,
                          watermark: str = "30 minutes",
                          state_ttl_s: int | None = None,
@@ -804,19 +837,21 @@ def near_dup_gate_stream(docs: DataFrame, n_bands: int = 4, n: int = 3,
 
     # the chained stateful agg below requires disabling Spark's
     # stateful-operator correctness check, and that conf is SESSION-
-    # wide (there is no per-query form) — warn so callers know other
-    # streaming queries on this session lose the analysis-time check;
-    # it is safe to re-enable the conf after .start()ing this query
-    # (the check runs at query analysis, not per batch).
-    warnings.warn(
-        "near_dup_gate_stream disables spark.sql.streaming."
-        "statefulOperator.checkCorrectness.enabled for the SESSION "
-        "(safety argument in this function's docstring); re-enable it "
-        "after starting the query if other streams need the check",
-        stacklevel=2)
-    docs.sparkSession.conf.set(
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
-        "false")
+    # wide (there is no per-query form). Preferred usage is to wrap
+    # construction + .start() in ``stateful_check_disabled(spark)``
+    # which restores the prior value once the query is started (the
+    # check runs at query analysis, not per batch). When called bare,
+    # this set leaks for the session lifetime — warn so callers know
+    # other streaming queries silently lose the analysis-time check.
+    if docs.sparkSession.conf.get(_CHECK_CORRECTNESS_KEY, "true") != "false":
+        warnings.warn(
+            "near_dup_gate_stream disables " + _CHECK_CORRECTNESS_KEY +
+            " for the SESSION (safety argument in this function's "
+            "docstring); wrap construction + .start() in "
+            "stateful_check_disabled(spark) to scope it, or re-enable "
+            "the conf after starting the query",
+            stacklevel=2)
+        docs.sparkSession.conf.set(_CHECK_CORRECTNESS_KEY, "false")
     # watermark declared BEFORE the shingle-count filter: event time
     # must be tracked over ALL documents, or a corpus whose newest doc
     # is shorter than n tokens would finalize at a lower watermark than
