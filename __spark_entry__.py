@@ -2171,6 +2171,48 @@ def _q112_incremental_dedup(spark, sf: str) -> DataFrame:
     )
 
 
+_NDI_STAGE_CACHE: dict[str, str] = {}
+
+
+def _q122_neardup_index(spark, sf: str) -> DataFrame:
+    """PERSISTED standing-corpus near-dup index (operators/dedup
+    .NearDupIndex): the corpus (doc_id % 5 >= 2) signature table is
+    built ONCE into an exactly-once sink table on disk; then TWO
+    successive ingest batches (doc_id%5==0, then doc_id%5==1) each
+    probe the on-disk index and append their own signatures back — so
+    the second batch's probe sees the first batch's docs, and the
+    standing corpus is never re-shingled (the gap the inline
+    incremental_near_dups derivation pays per call). Output = union of
+    both probes tagged by ingest batch; the oracle replays both probes
+    (batch 1 vs corpus; batch 2 vs corpus ∪ batch 1) over the same
+    band/minhash family. Staged once per (session, sf): ingest MUTATES
+    the index, so re-running the pipeline would probe a grown index."""
+    from watermark_detector_spark.operators.dedup import NearDupIndex
+
+    key = f"{id(spark)}:{sf}"
+    if key not in _NDI_STAGE_CACHE:
+        os.makedirs(_TMP_ROOT, exist_ok=True)
+        root = tempfile.mkdtemp(prefix="wmd_ndi_", dir=_TMP_ROOT)
+        idx = NearDupIndex(os.path.join(root, "index"), threshold=0.5,
+                           output_partitions=2)
+        d = _t(spark, sf, "documents")
+        corpus = d.where(F.col("doc_id") % 5 >= 2)
+        b1 = d.where(F.col("doc_id") % 5 == 0)
+        b2 = d.where(F.col("doc_id") % 5 == 1)
+        idx.build(corpus)
+        h1 = idx.ingest(spark, b1, corpus).withColumn(
+            "ingest_batch", F.lit(1))
+        h2 = idx.ingest(spark, b2, corpus.unionByName(b1)).withColumn(
+            "ingest_batch", F.lit(2))
+        out = os.path.join(root, "hits")
+        h1.unionByName(h2).write.parquet(out)
+        _NDI_STAGE_CACHE[key] = out
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return spark.read.parquet(_NDI_STAGE_CACHE[key])
+
+
 def _q113_group_split(spark, sf: str) -> DataFrame:
     """Leakage-proof GROUP-aware train/val/test split: hash_split keyed
     on the GROUP (source domain), not the row — every doc of a domain
@@ -2661,6 +2703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     already has a green row in CORRECTNESS_r01..r03). jobs/correctness.py
     additionally writes a repo-local artifact covering ALL queries."""
     return {
+        # -- round 7: new queries first (driver union r01-r06 already
+        #    certifies q01-q121; only these lack a green driver row) --
+        "q122_neardup_index": _q122_neardup_index,
         # -- round 6: q84 FIRST — the one red row in CORRECTNESS_r05
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
@@ -3791,6 +3836,38 @@ def oracle_sql() -> dict[str, str]:
                       GROUP BY 1, 2)
             SELECT new_id, old_id AS dup_of,
                    round(1.0 * i / (x.n + y.n - i), 4) AS jaccard
+            FROM inter JOIN sizes x ON new_id = x.doc_id
+                       JOIN sizes y ON old_id = y.doc_id
+            WHERE round(1.0 * i / (x.n + y.n - i), 4) >= 0.5
+        """,
+        # q122: both persisted-index probes replayed — batch 1 vs the
+        # corpus, batch 2 vs corpus ∪ batch 1 (the index grew) — same
+        # band/minhash family + Jaccard confirm as q112
+        "q122_neardup_index": f"""
+            WITH {_SHINGLES_CTE},
+            bnd AS (SELECT doc_id, shingle, unnest(range(0, 4)) AS band FROM sh),
+            sig AS (SELECT doc_id, band,
+                           min(substr(md5(shingle), band*8 + 1, 8)) AS minhash
+                    FROM bnd GROUP BY doc_id, band),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
+                              1 AS ingest_batch
+              FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+              WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 >= 2
+              UNION
+              SELECT DISTINCT a.doc_id, b.doc_id, 2
+              FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+              WHERE a.doc_id % 5 = 1
+                AND (b.doc_id % 5 >= 2 OR b.doc_id % 5 = 0)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT c.new_id, c.old_id, c.ingest_batch, count(*) AS i
+                      FROM cand c JOIN sh sa ON sa.doc_id = c.new_id
+                                  JOIN sh sb ON sb.doc_id = c.old_id
+                                            AND sb.shingle = sa.shingle
+                      GROUP BY 1, 2, 3)
+            SELECT new_id, old_id AS dup_of,
+                   round(1.0 * i / (x.n + y.n - i), 4) AS jaccard,
+                   ingest_batch
             FROM inter JOIN sizes x ON new_id = x.doc_id
                        JOIN sizes y ON old_id = y.doc_id
             WHERE round(1.0 * i / (x.n + y.n - i), 4) >= 0.5

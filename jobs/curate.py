@@ -64,7 +64,7 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
            lm_nll_max: float | None = None, lm_vocab: int = 4096,
            near_keep: str = "min_id", dsir_target=None,
            dsir_k: int | None = None, shard_size: int | None = None,
-           dedup_against=None):
+           dedup_against=None, dedup_sigs_path: str | None = None):
     """(curated DataFrame, funnel stats dict). Deterministic keeper
     rule at every stage: min doc_id survives — unless
     ``near_keep="best"``, which keeps the longest member of each
@@ -250,14 +250,27 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         .drop("_lang", "_quality", "_n_tokens")
     if dedup_against is not None:
         # incremental-ingestion dedup: drop batch docs near-dupping the
-        # STANDING corpus (its signature index derived inline here; at
-        # production scale it is precomputed and maintained)
+        # STANDING corpus. With --dedup-sigs the corpus signature index
+        # is PERSISTED across invocations (computed + written on the
+        # first run, read back on every later batch) so repeated ingest
+        # runs never re-shingle the standing corpus — the production
+        # shape; without it the index is derived inline per run.
         from watermark_detector_spark.operators.dedup import (
             incremental_near_dups,
+            minhash_signatures,
         )
 
+        corpus_sigs = None
+        if dedup_sigs_path is not None:
+            from watermark_detector_spark.streaming.sink import _HadoopFS
+
+            if not _HadoopFS(spark, dedup_sigs_path).exists(dedup_sigs_path):
+                minhash_signatures(dedup_against).write.mode(
+                    "errorifexists").parquet(dedup_sigs_path)
+            corpus_sigs = spark.read.parquet(dedup_sigs_path)
         hit = (incremental_near_dups(curated, dedup_against,
-                                     threshold=jaccard)
+                                     threshold=jaccard,
+                                     corpus_sigs=corpus_sigs)
                .select(F.col("new_id").alias("doc_id")).distinct()
                .persist())
         n_corpus_dups = hit.count()
@@ -387,7 +400,15 @@ def main() -> None:  # pragma: no cover - CLI wrapper
                     help="parquet of the standing corpus (doc_id, "
                          "text); batch docs near-dupping it are "
                          "dropped (incremental-ingestion dedup)")
+    ap.add_argument("--dedup-sigs", default=None,
+                    help="parquet path caching the --dedup-against "
+                         "corpus minhash signature index: written on "
+                         "the first run, read back on every later "
+                         "batch so repeated ingest runs never "
+                         "re-shingle the standing corpus")
     args = ap.parse_args()
+    if args.dedup_sigs and not args.dedup_against:
+        ap.error("--dedup-sigs requires --dedup-against")
 
     from watermark_detector_spark.session import get_spark
 
@@ -410,6 +431,7 @@ def main() -> None:  # pragma: no cover - CLI wrapper
         dsir_k=args.dsir_k, shard_size=args.shard_size,
         dedup_against=(spark.read.parquet(args.dedup_against)
                        if args.dedup_against else None),
+        dedup_sigs_path=args.dedup_sigs,
     )
     print(json.dumps({"out": args.out, **stats}))
     spark.stop()

@@ -230,6 +230,83 @@ def test_incremental_near_dups_vs_batch(spark):
     assert jz == jf
 
 
+def test_neardup_index_persisted_two_ingests(spark, tmp_path):
+    """NearDupIndex (the 100 TB ingest shape): corpus signatures built
+    ONCE into the sink table; two successive ingests probe it from
+    disk, each appending its own signatures — so the SECOND batch's
+    probe sees the FIRST batch's docs, and every probe matches the
+    recompute path (incremental_near_dups) row-for-row."""
+    from watermark_detector_spark.operators.dedup import (
+        NearDupIndex,
+        incremental_near_dups,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs through the green field near the old barn")
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                  # corpus
+            (2, "a completely different story about ships and the open "
+                "sea where the sailors watch the horizon all night"),
+            (3, base + " at dusk"),                     # batch 1: dups 1
+            (4, "the mountain stands alone above the frozen lake while "
+                "the wind carves deep lines into the ancient ice"),
+            (5, base + " at dawn"),                     # batch 2: dups 1 AND 3
+            (6, "under the city the old trains sleep in tiled tunnels "
+                "where yellow lamps hum against the damp brick walls"),
+        ],
+        "doc_id long, text string")
+    corpus = docs.where("doc_id <= 2")
+    b1 = docs.where("doc_id in (3, 4)")
+    b2 = docs.where("doc_id in (5, 6)")
+
+    idx = NearDupIndex(str(tmp_path / "ndi"), threshold=0.5)
+    with pytest.raises(ValueError, match="empty"):
+        idx.ingest(spark, b1, corpus)  # must build first
+    idx.build(corpus)
+    idx.build(corpus)  # replay: exactly-once no-op
+    assert idx.sink.committed_batches() == [0]
+
+    h1 = idx.ingest(spark, b1, corpus)
+    assert {(r["new_id"], r["dup_of"]) for r in h1.collect()} == {(3, 1)}
+    assert idx.sink.committed_batches() == [0, 1]
+
+    indexed = corpus.unionByName(b1)
+    h2 = idx.ingest(spark, b2, indexed).collect()
+    got2 = {(r["new_id"], r["dup_of"]) for r in h2}
+    assert (5, 3) in got2, "second batch must see the first batch's docs"
+    assert got2 == {(5, 1), (5, 3)}
+    # equivalence vs the recompute path, jaccard included
+    rec = incremental_near_dups(b2, indexed, threshold=0.5).collect()
+    assert ({(r["new_id"], r["dup_of"], r["jaccard"]) for r in h2}
+            == {(r["new_id"], r["dup_of"], r["jaccard"]) for r in rec})
+
+
+def test_incremental_near_dups_precomputed_sigs(spark):
+    """corpus_sigs= (the cached-index parameter curate.py --dedup-sigs
+    feeds): identical result to the inline derivation."""
+    from watermark_detector_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_signatures,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs through the green field near the old barn")
+    docs = spark.createDataFrame(
+        [(1, base), (3, base + " at dusk"), (5, base + " at dawn")],
+        "doc_id long, text string")
+    corpus = docs.where("doc_id = 1")
+    new = docs.where("doc_id > 1")
+    inline = incremental_near_dups(new, corpus, threshold=0.5).collect()
+    cached = incremental_near_dups(
+        new, corpus, threshold=0.5,
+        corpus_sigs=minhash_signatures(corpus)).collect()
+    key = lambda rows: {(r["new_id"], r["dup_of"], r["jaccard"])  # noqa: E731
+                        for r in rows}
+    assert key(inline) == key(cached)
+    assert {(r["new_id"], r["dup_of"]) for r in cached} == {(3, 1), (5, 1)}
+
+
 def test_curate_dedup_against_standing_corpus(spark):
     """curate(dedup_against=...): batch docs near-dupping the standing
     corpus are dropped and counted; unrelated docs survive."""

@@ -715,7 +715,8 @@ def dedup_drops_best(docs: DataFrame, pairs: DataFrame,
 def incremental_near_dups(new_docs: DataFrame, corpus: DataFrame,
                           threshold: float = 0.5, n_bands: int = 4,
                           id_col: str = "doc_id", text_col: str = "text",
-                          n: int = 3) -> DataFrame:
+                          n: int = 3,
+                          corpus_sigs: DataFrame | None = None) -> DataFrame:
     """Incremental-ingestion dedup: flag NEW docs that near-duplicate
     the EXISTING corpus — without re-clustering the world. This is the
     production shape at 10^12 docs: each arriving crawl batch is
@@ -736,9 +737,18 @@ def incremental_near_dups(new_docs: DataFrame, corpus: DataFrame,
 
     New-vs-new duplicates inside the batch are a separate (small)
     problem: run ``near_dup_pairs(new_docs)`` on the batch itself.
+
+    ``corpus_sigs``: a PRECOMPUTED corpus signature table — exactly the
+    schema ``minhash_signatures`` returns ``(id_col, band, minhash)`` —
+    substituted for the inline derivation so repeated ingest batches
+    (jobs/curate.py --dedup-against across invocations, or
+    :class:`NearDupIndex` which persists it in a sink table) never
+    re-shingle the standing corpus. When None the index is derived
+    inline so the operator stays self-contained.
     """
     new_sig = minhash_signatures(new_docs, n_bands, id_col, text_col, n)
-    idx = minhash_signatures(corpus, n_bands, id_col, text_col, n)
+    idx = (corpus_sigs if corpus_sigs is not None
+           else minhash_signatures(corpus, n_bands, id_col, text_col, n))
     cand = (
         new_sig.select(F.col(id_col).alias("new_id"), "band", "minhash")
         .join(
@@ -752,3 +762,97 @@ def incremental_near_dups(new_docs: DataFrame, corpus: DataFrame,
         cand, new_docs, corpus, "new_id", "old_id", threshold,
         id_col, text_col, n,
     ).withColumnRenamed("old_id", "dup_of")
+
+
+class NearDupIndex:
+    """PERSISTED standing-corpus near-dup index: the banded minhash
+    signature table lives in an exactly-once sink table on disk
+    (streaming/sink.ExactlyOnceParquetSink), built once from the
+    standing corpus and grown incrementally — each arriving crawl
+    batch probes the on-disk index and appends its OWN signatures back
+    as the next committed batch.
+
+    This is the real ingest shape at 10^12 docs, closing the gap
+    :func:`incremental_near_dups` documents: that operator derives the
+    corpus index inline per call, i.e. re-shingles the ENTIRE standing
+    corpus for every arriving batch. Here the corpus is shingled
+    exactly once (at :meth:`build`), each batch is shingled exactly
+    once (at its own :meth:`ingest`), and a probe costs
+    O(batch signatures) + one (band, minhash) shuffle against a
+    columnar SCAN of the index — a few tens of bytes per indexed doc,
+    no text, no recompute. The sink's idempotent manifest ledger makes
+    index growth exactly-once under driver retries, and its
+    ``compact()`` folds the accumulated per-batch signature files when
+    they get numerous.
+
+    The exact-Jaccard confirm stage still needs candidate docs' TEXT;
+    ``indexed_docs`` (the lake-resident corpus-so-far) is LEFT
+    SEMI-cut to candidate ids before shingling inside the shared
+    ``_jaccard_confirm``, so confirm cost tracks the match set, never
+    the corpus. Reference semantics: the same near-duplicate relation
+    as ``near_dup_pairs`` (SURVEY §2 dedup family), restricted
+    new-vs-indexed.
+    """
+
+    def __init__(self, root: str, threshold: float = 0.5,
+                 n_bands: int = 4, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3,
+                 output_partitions: int | None = 8):
+        from ..streaming.sink import ExactlyOnceParquetSink
+
+        self.sink = ExactlyOnceParquetSink(
+            root, output_partitions=output_partitions)
+        self.threshold = threshold
+        self.n_bands = n_bands
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+
+    def _sigs(self, docs: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            docs, self.n_bands, self.id_col, self.text_col, self.n)
+
+    def build(self, corpus: DataFrame) -> None:
+        """Index the standing corpus as batch 0. Idempotent: a replay
+        (driver retry) is a ledger no-op."""
+        self.sink.write_batch(self._sigs(corpus), 0)
+
+    def ingest(self, spark, new_docs: DataFrame,
+               indexed_docs: DataFrame) -> DataFrame:
+        """Probe ``new_docs`` against everything indexed SO FAR, then
+        append their signatures as the next committed batch. Returns
+        (new_id, dup_of, jaccard) — near-dup hits of the new batch
+        against the standing index at or above ``threshold``.
+
+        ``indexed_docs`` must be the docs the index currently covers
+        (original corpus plus previously ingested batches) — the
+        confirm stage semi-joins it down to candidates only. Order of
+        operations matters and is handled here: the probe snapshot is
+        path-pinned BEFORE the append so a batch never matches itself,
+        and the appended signatures are read back from the just-written
+        files so signature computation runs once, not once per
+        downstream reference."""
+        committed = self.sink.committed_batches()
+        if not committed:
+            raise ValueError(
+                f"NearDupIndex at {self.sink.root} is empty — call "
+                f"build(corpus) before ingest()")
+        # explicit pre-append snapshot: a batch never matches itself
+        idx = self.sink.read(spark, as_of_batch=committed[-1])
+        nxt = committed[-1] + 1
+        self.sink.write_batch(self._sigs(new_docs), nxt)  # materialized once
+        new_sig = self.sink.read_changes(spark, since_batch=nxt - 1,
+                                         as_of_batch=nxt)
+        cand = (
+            new_sig.select(
+                F.col(self.id_col).alias("new_id"), "band", "minhash")
+            .join(idx.select(
+                F.col(self.id_col).alias("old_id"), "band", "minhash"),
+                ["band", "minhash"])
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        return _jaccard_confirm(
+            cand, new_docs, indexed_docs, "new_id", "old_id",
+            self.threshold, self.id_col, self.text_col, self.n,
+        ).withColumnRenamed("old_id", "dup_of")
