@@ -2171,6 +2171,24 @@ def _q112_incremental_dedup(spark, sf: str) -> DataFrame:
     )
 
 
+def _q123_ivfpq_topk(spark, sf: str) -> DataFrame:
+    """IVF-PQ ANN top-k (functions/similarity.ivfpq_topk) run in its
+    EXACT mode — nprobe == n_cells and rerank=None — so the output
+    equals brute-force top-k and shares q21's SQL oracle. This pins the
+    whole FAISS-style pipeline against an independent engine: coarse
+    quantizer, residual PQ codebook training, distributed tinyint-code
+    encoding, ADC candidate scoring from codes alone, and the
+    raw-vector rerank join. The approximate operating point (nprobe <
+    n_cells, small rerank) is recall-tested in pytest; the memory
+    model (N·(12+m) bytes resident vs N·dim·4 raw) is the docstring's
+    contract."""
+    from watermark_detector_spark.functions.similarity import ivfpq_topk
+
+    e = _t(spark, sf, "embeddings")
+    return ivfpq_topk(e, dim=64, k=3, n_cells=4, nprobe=4, m=8, ksub=16,
+                      n_iters=2, rerank=None, n_queries=10)
+
+
 _NDI_STAGE_CACHE: dict[str, str] = {}
 
 
@@ -2706,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 7: new queries first (driver union r01-r06 already
         #    certifies q01-q121; only these lack a green driver row) --
         "q122_neardup_index": _q122_neardup_index,
+        "q123_ivfpq_topk": _q123_ivfpq_topk,
         # -- round 6: q84 FIRST — the one red row in CORRECTNESS_r05
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
@@ -4951,6 +4970,29 @@ def oracle_sql() -> dict[str, str]:
         # q28: the real detect pandas UDF, replayed in SQL (see
         # _detect_docs_sql docstring for why this is exact)
         "q28_detect_udf_docs": _detect_docs_sql(),
+        # q123: IVF-PQ at nprobe == n_cells with rerank=None (every ADC
+        # candidate re-scored exactly against raw vectors) is exact ⇒
+        # brute-force top-k is the oracle (same SQL as q21/q58)
+        "q123_ivfpq_topk": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_sum(list_transform(range(1, len(q.embedding) + 1),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+              FROM n q JOIN n c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10)
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored
+            QUALIFY rank <= 3
+        """,
         # q58: IVF at nprobe == n_cells is exact ANN ⇒ brute-force
         # top-k is the oracle (same SQL as q21 by construction)
         "q58_ivf_topk": """

