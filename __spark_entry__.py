@@ -2171,6 +2171,68 @@ def _q112_incremental_dedup(spark, sf: str) -> DataFrame:
     )
 
 
+_CDC_STAGE_CACHE: dict[str, str] = {}
+
+
+def _q124_upsert_cdc_chain(spark, sf: str) -> DataFrame:
+    """CDC chain off the upsert table (sources/sink_stream
+    .mirror_upsert — the Delta CDF → MERGE pattern): an upstream
+    UpsertSink gets the q115 history (insert-all, update doc_id%3==0,
+    tombstone doc_id%7==0, one REPLAYED update batch), left UNMERGED so
+    its per-batch deltas are live; the changelog is tailed through the
+    wmsink streaming source in TWO checkpointed availableNow runs —
+    batches 0-1 first, then batch 2 committed and the SAME checkpoint
+    resumed, so the second run replays nothing and picks up only the
+    new commit — each micro-batch MERGEd into a downstream mirror
+    whose order struct carries the upstream (commit, ver) pair. The
+    query aggregates the MIRROR's read_current; the oracle replays the
+    final upstream state (q115's SQL), so changelog completeness,
+    offset resume, cross-commit LWW and tombstone propagation all
+    enter the hash."""
+    from watermark_detector_spark.sources.sink_stream import mirror_upsert
+    from watermark_detector_spark.streaming.sink import UpsertSink
+
+    key = f"{id(spark)}:{sf}"
+    if key not in _CDC_STAGE_CACHE:
+        os.makedirs(_TMP_ROOT, exist_ok=True)
+        root = tempfile.mkdtemp(prefix="wmd_cdc_", dir=_TMP_ROOT)
+        up = UpsertSink(os.path.join(root, "up"), key_cols=["doc_id"],
+                        order_col="ver", tombstone_col="_deleted",
+                        output_partitions=2)
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        base = d.withColumn("ver", F.lit(0)).withColumn(
+            "_deleted", F.lit(False))
+        upd = (d.where(F.col("doc_id") % 3 == 0)
+               .withColumn("n_chars", F.col("n_chars") + 1000)
+               .withColumn("ver", F.lit(1))
+               .withColumn("_deleted", F.lit(False)))
+        dele = (d.where(F.col("doc_id") % 7 == 0)
+                .withColumn("ver", F.lit(2))
+                .withColumn("_deleted", F.lit(True)))
+        up.write_batch(base, 0)
+        up.write_batch(upd, 1)
+        up.write_batch(upd.withColumn("n_chars", F.lit(-1)), 1)  # replay
+        ckpt = os.path.join(root, "ckpt")
+        dst_root = os.path.join(root, "mirror")
+        mirror_upsert(spark, up, dst_root, ckpt)   # catches up 0-1
+        up.write_batch(dele, 2)                    # new commit after run 1
+        mirror_upsert(spark, up, dst_root, ckpt)   # resumes: batch 2 only
+        _CDC_STAGE_CACHE[key] = root
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = _CDC_STAGE_CACHE[key]
+    mirror = UpsertSink(os.path.join(root, "mirror"), key_cols=["doc_id"],
+                        order_col="_src_ord", tombstone_col="_deleted",
+                        output_partitions=2)
+    return mirror.read_current(spark).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _q123_ivfpq_topk(spark, sf: str) -> DataFrame:
     """IVF-PQ ANN top-k (functions/similarity.ivfpq_topk) run in its
     EXACT mode — nprobe == n_cells and rerank=None — so the output
@@ -2725,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    certifies q01-q121; only these lack a green driver row) --
         "q122_neardup_index": _q122_neardup_index,
         "q123_ivfpq_topk": _q123_ivfpq_topk,
+        "q124_upsert_cdc_chain": _q124_upsert_cdc_chain,
         # -- round 6: q84 FIRST — the one red row in CORRECTNESS_r05
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
@@ -3167,6 +3230,20 @@ def oracle_sql() -> dict[str, str]:
             FROM canon GROUP BY canonical_url
         """,
         "q115_upsert_merge": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id % 3 = 0
+                                 THEN n_chars + 1000
+                                 ELSE n_chars END) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM documents
+            WHERE doc_id % 7 <> 0
+            GROUP BY lang
+        """,
+        # q124: the mirror's resolved state == the upstream's resolved
+        # state == q115's LWW replay (same history, minus the merge)
+        "q124_upsert_cdc_chain": """
             SELECT lang,
                    count(*) AS n_docs,
                    CAST(sum(CASE WHEN doc_id % 3 = 0

@@ -81,6 +81,58 @@ def test_tail_then_restart_delivers_each_batch_exactly_once(
     assert [(r["m"], r["n"]) for r in hist] == [(1, 133), (2, 267)]
 
 
+def test_mirror_upsert_cdc_chain_restart_new_commits_only(
+    spark, tmp_path, docs
+):
+    """mirror_upsert: (a) after catch-up the mirror's resolved state
+    equals the upstream's, updates/tombstones included; (b) resuming
+    the SAME checkpoint after new upstream commits processes ONLY the
+    delta — the mirror gains exactly one downstream batch whose row
+    count is the new commit's, nothing is re-merged; (c) a run with
+    nothing new commits no downstream batch at all."""
+    from watermark_detector_spark.sources.sink_stream import mirror_upsert
+    from watermark_detector_spark.streaming.sink import UpsertSink
+
+    up_root, dst_root, ckpt = (
+        str(tmp_path / d) for d in ("up", "mirror", "ckpt"))
+    up = UpsertSink(up_root, key_cols=["doc_id"], order_col="ver",
+                    tombstone_col="_deleted", output_partitions=2)
+    base = docs.withColumn("ver", F.lit(0)).withColumn(
+        "_deleted", F.lit(False))
+    upd = (docs.where(F.col("doc_id") % 4 == 0)
+           .withColumn("text", F.lit("updated"))
+           .withColumn("ver", F.lit(1)).withColumn("_deleted", F.lit(False)))
+    up.write_batch(base, 0)
+    up.write_batch(upd, 1)
+
+    mirror = mirror_upsert(spark, up, dst_root, ckpt)
+    cur = mirror.read_current(spark)
+    assert cur.count() == 400
+    assert cur.where("text = 'updated'").count() == 100  # LWW applied
+    first_batches = mirror.committed_batches()
+
+    # nothing new: resumed run must not commit a downstream batch
+    mirror_upsert(spark, up, dst_root, ckpt)
+    assert mirror.committed_batches() == first_batches
+
+    # new upstream commit: tombstone doc_id%5==0, resume the checkpoint
+    dele = (docs.where(F.col("doc_id") % 5 == 0)
+            .withColumn("ver", F.lit(2)).withColumn("_deleted", F.lit(True)))
+    up.write_batch(dele, 2)
+    mirror_upsert(spark, up, dst_root, ckpt)
+    after = mirror.committed_batches()
+    assert len(after) == len(first_batches) + 1  # exactly one new batch
+    new_id = after[-1]
+    # the new downstream batch carries ONLY the new commit's rows
+    assert mirror.read_changes(
+        spark, since_batch=new_id - 1, as_of_batch=new_id).count() == 80
+    # resolved mirror state == resolved upstream state, row-for-row
+    cur = mirror.read_current(spark).select("doc_id", "lang", "text")
+    want = up.read_current(spark).select("doc_id", "lang", "text")
+    assert cur.count() == 320
+    assert cur.exceptAll(want).isEmpty() and want.exceptAll(cur).isEmpty()
+
+
 def test_schema_inferred_from_footers(spark, tmp_path, docs):
     root = str(tmp_path / "sink")
     _staged_sink(docs, root, n_batches=2)

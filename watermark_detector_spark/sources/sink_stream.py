@@ -145,6 +145,59 @@ class SinkStreamReader(DataSourceStreamReader):
         pass
 
 
+def mirror_upsert(spark, src, dst_root: str, checkpoint: str,
+                  output_partitions: int | None = 8):
+    """CDC CHAIN off an upsert table (Delta CDF → MERGE analog): tail
+    ``src`` (an UpsertSink) through the ``wmsink`` streaming source —
+    its appended delta rows, lineage-stamped ``_commit_batch``, ARE the
+    complete change stream — and MERGE each micro-batch into a NEW
+    downstream UpsertSink at ``dst_root``. Runs availableNow (catch up
+    through everything committed, then stop) and blocks; re-running
+    with the same ``checkpoint`` picks up ONLY commits newer than the
+    last run — the streaming checkpoint remembers the ledger offset,
+    and a replayed micro-batch id is an exactly-once no-op downstream.
+
+    Last-writer-wins survives catch-up batches that span MANY upstream
+    commits: the upstream ``(_commit_batch, order_col)`` pair travels
+    as the downstream order struct ``_src_ord``, so resolution order is
+    the upstream commit order even when one downstream batch carries
+    several upstream batches' deltas. Tombstones propagate (same
+    ``tombstone_col``): after catch-up,
+    ``mirror.read_current() == src.read_current()`` row-for-row — the
+    oracled q124 contract.
+
+    Returns the downstream UpsertSink handle. Scale shape: the mirror
+    processes each delta exactly once (never rescans the table), so a
+    10^12-row upstream costs only its change volume; downstream
+    ``compact_merge()`` keeps read_current a plain scan."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.sink import UpsertSink
+
+    register(spark)
+    dst = UpsertSink(dst_root, key_cols=src.key_cols,
+                     order_col="_src_ord",
+                     tombstone_col=src.tombstone_col,
+                     output_partitions=output_partitions)
+    lineage = src.LINEAGE_COL
+
+    def _merge(df, batch_id):
+        ords = [F.col(lineage).alias("src_commit")]
+        if src.order_col:
+            ords.append(F.col(src.order_col).alias("src_order"))
+        dst.write_batch(
+            df.withColumn("_src_ord", F.struct(*ords)).drop(lineage),
+            batch_id)
+
+    q = (spark.readStream.format("wmsink").load(src.root)
+         .writeStream.foreachBatch(_merge)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return dst
+
+
 class SinkStreamDataSource(DataSource):
     """``spark.readStream.format("wmsink").load(root)`` — tail an
     ExactlyOnceParquetSink table. Schema is inferred once at plan time
