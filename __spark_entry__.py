@@ -2171,6 +2171,35 @@ def _q112_incremental_dedup(spark, sf: str) -> DataFrame:
     )
 
 
+def _q125_stream_salted_window(spark, sf: str) -> DataFrame:
+    """Skew-proof STREAMING windowed agg (operators/skew
+    .salted_windowed_stream_agg): salt → partial (window, type, salt)
+    stateful agg → same-window re-agg, one watermark, append mode. A
+    hot event type's window state fans out over k=16 state-store
+    partitions instead of one — the streaming analog of the batch
+    salted two-phase agg. Same-width re-window is the identity
+    partition, so emission stays "window end <= final watermark" and
+    the oracle is exactly the UNSALTED tumbling agg replay (q24's rule
+    with count+sum) — proving the salt changes state layout, never
+    results."""
+    from watermark_detector_spark.operators.skew import (
+        salted_windowed_stream_agg,
+    )
+
+    src, _ = _events_stream(spark, sf)
+    agg = salted_windowed_stream_agg(
+        src, time_col="ts", key_col="event_type", value_col="value",
+        window="5 minutes", delay="10 minutes", k=16,
+        salt_src="event_id",
+    ).select(
+        F.date_format(F.col("win.start"), _TS_FMT_SPARK).alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+    name = "wmd_q125_" + uuid.uuid4().hex[:8]
+    _run_to_memory(agg, name, "append")
+    return spark.table(name)
+
+
 _CDC_STAGE_CACHE: dict[str, str] = {}
 
 
@@ -2788,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_neardup_index": _q122_neardup_index,
         "q123_ivfpq_topk": _q123_ivfpq_topk,
         "q124_upsert_cdc_chain": _q124_upsert_cdc_chain,
+        "q125_stream_salted_window": _q125_stream_salted_window,
         # -- round 6: q84 FIRST — the one red row in CORRECTNESS_r05
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
@@ -4804,6 +4834,19 @@ def oracle_sql() -> dict[str, str]:
         # every key stays inside the watermark horizon of the run
         "q26_dedup_stream": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # q125: the salted two-phase streaming agg must equal the plain
+        # unsalted tumbling agg — same emission rule as q24
+        "q125_stream_salted_window": f"""
+            WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+            agg AS (
+              SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS ws, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2)
+            SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+                   event_type, n_events, sum_value
+            FROM agg, wm WHERE ws + INTERVAL 5 MINUTE <= wm.w
         """,
         # q48: sliding windows — each event lands in 3 slides; same
         # append-emission rule as q24

@@ -131,14 +131,24 @@ def main() -> None:
     ap.add_argument("--span-min", type=int, default=600,
                     help="event-time span of the corpus in minutes")
     ap.add_argument("--phases",
-                    default="flagship,track_best,session_stats,sequence_cep,kleene_cep")
+                    default="flagship,track_best,session_stats,"
+                            "sequence_cep,kleene_cep,salted_hot_window")
     args = ap.parse_args()
 
     from watermark_detector_spark.fixtures import FixtureConfig
+    from watermark_detector_spark.operators.skew import (
+        salted_windowed_stream_agg,
+    )
     from watermark_detector_spark.plans.flagship import (
         flagship_stream,
         kept_detections_fused,
     )
+
+    def _salted_hot(ev):
+        return salted_windowed_stream_agg(
+            ev, time_col="ts", key_col="domain_key", value_col="value",
+            window="5 minutes", delay="10 minutes", k=16,
+            salt_src="event_id")
     from watermark_detector_spark.session import get_spark
     from watermark_detector_spark.sources.pages import read_pages_stream
     from watermark_detector_spark.streaming.state import (
@@ -180,6 +190,22 @@ def main() -> None:
             F.xxhash64("url").alias("event_id"),
         )
 
+    def hot_events():
+        # 90% of domains collapse onto ONE hot key — the Zipf-head
+        # shape the salted streaming agg exists for; unsalted this
+        # would concentrate every hot window's state + update traffic
+        # on one state-store partition
+        from pyspark.sql import functions as F
+
+        k = kept()
+        return k.select(
+            F.col("warc_ts").alias("ts"),
+            F.when(F.xxhash64("domain") % 10 < 9, F.lit("hot"))
+            .otherwise(F.col("domain")).alias("domain_key"),
+            F.col("score").alias("value"),
+            F.col("url").alias("event_id"),
+        )
+
     phase_fns = {
         "flagship": (lambda: flagship_stream(pages(), cfg.signatures), "append"),
         "track_best": (lambda: track_best(kept()), "update"),
@@ -195,6 +221,11 @@ def main() -> None:
         "kleene_cep": (lambda: kleene_match_stream(
             seq_events(), "watermark", "text", "watermark",
             max_gap_s=600, watermark="10 minutes"), "append"),
+        # salted two-phase windowed agg on a hot-key stream: state is
+        # (open windows) x (keys x salt + keys) — flat once the
+        # watermark evicts, NEVER proportional to stream length, and
+        # the hot key's per-commit work spreads over k=16 partitions
+        "salted_hot_window": (lambda: _salted_hot(hot_events()), "append"),
     }
     out = {}
     for name in args.phases.split(","):

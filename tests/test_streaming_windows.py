@@ -69,6 +69,56 @@ def test_streaming_sliding_window_matches_batch(spark, fixture_cfg,
         assert (got[c].values == want[c].values).all(), c
 
 
+def test_salted_streaming_window_agg_matches_unsalted(
+    spark, fixture_cfg, fixture_paths, tmp_path
+):
+    """salted_windowed_stream_agg == the plain unsalted streaming agg,
+    window-for-window, on a stream where 3/4 of the domains collapse
+    onto ONE hot key — the salt fans state out, results are identical
+    (counts exact; sums to rounding tolerance, the two plans add in
+    different orders)."""
+    import numpy as np
+
+    from watermark_detector_spark.operators.skew import (
+        salted_windowed_stream_agg,
+    )
+
+    def ev():
+        kept = kept_detections_fused(
+            read_pages_stream(spark, fixture_paths["pages_stream"]),
+            fixture_cfg.signatures,
+        )
+        return kept.select(
+            F.col("warc_ts").alias("ts"),
+            F.when(F.xxhash64("domain") % 4 < 3, F.lit("hot"))
+            .otherwise(F.col("domain")).alias("k"),
+            F.col("score").alias("value"),
+            F.col("url").alias("event_id"),
+        )
+
+    salted = salted_windowed_stream_agg(ev(), key_col="k", k=8).select(
+        F.col("win.start").alias("ws"), "k", "n_events", "sum_value")
+    got = _stream_to_memory(spark, salted, "salted_out", tmp_path)
+    unsalted = (
+        ev().withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "k")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("ws"), "k", "n_events",
+                "sum_value")
+    )
+    want = _stream_to_memory(spark, unsalted, "unsalted_out", tmp_path)
+    got = got.sort_values(["k", "ws"]).reset_index(drop=True)
+    want = want.sort_values(["k", "ws"]).reset_index(drop=True)
+    assert got.shape == want.shape and len(got) > 0
+    assert (got["ws"].values == want["ws"].values).all()
+    assert (got["k"].values == want["k"].values).all()
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert np.allclose(got["sum_value"], want["sum_value"], atol=2e-4)
+    # the hot key really is hot (the scenario the salt exists for)
+    assert (got["k"] == "hot").sum() > 0
+
+
 def test_streaming_builtin_session_window_runs(spark, fixture_cfg,
                                                fixture_paths, tmp_path):
     """F.session_window in streaming mode (requires watermark): emits

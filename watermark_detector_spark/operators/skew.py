@@ -52,6 +52,47 @@ def direct_domain_stats(kept: DataFrame) -> DataFrame:
     )
 
 
+def salted_windowed_stream_agg(events: DataFrame, time_col: str = "ts",
+                               key_col: str = "event_type",
+                               value_col: str = "value",
+                               window: str = "5 minutes",
+                               delay: str = "10 minutes", k: int = 16,
+                               salt_src: str = "event_id") -> DataFrame:
+    """Skew-proof STREAMING windowed aggregation: salt → partial window
+    agg → same-window re-agg, under ONE event-time watermark.
+
+    The streaming analog of :func:`salted_domain_stats`: a hot key
+    (head domain / dominant event type) would otherwise concentrate a
+    window's entire state and update traffic on ONE state-store
+    partition — the straggler that stalls every micro-batch commit at
+    1000 executors. Phase 1 keys state by (window, key, salt) so a hot
+    key's rows fan out k ways (k stores update in parallel, each
+    holding 1/k of the hot key's partials); phase 2 re-aggregates the
+    ≤k partial rows per (window, key) — Spark 3.4+ chained stateful
+    aggregation, both phases sharing the one watermark, emission still
+    "window end <= watermark" because the re-window has the SAME width
+    (window-of-window with equal size is the identity partition).
+
+    Decomposable aggregates only (count/sum here — min/max merge the
+    same way). Result is row-identical to the unsalted
+    ``groupBy(window, key)`` agg (asserted in tests and oracled by
+    q125); only the state layout changes. Returns
+    (window_start, key, n_events, sum_value) in append mode."""
+    salted = events.withWatermark(time_col, delay).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(k)))
+    partial = (
+        salted.groupBy(F.window(time_col, window).alias("_w"),
+                       F.col(key_col), F.col("_salt"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_s"))
+    )
+    return (
+        partial.groupBy(F.window(F.col("_w"), window).alias("win"),
+                        F.col(key_col))
+        .agg(F.sum("_n").alias("n_events"),
+             F.round(F.sum("_s"), 4).alias("sum_value"))
+    )
+
+
 def salted_join(big: DataFrame, small: DataFrame, on: str, k: int = 16,
                 big_salt_col: str | None = None) -> DataFrame:
     """Skew-proof equi-join: salt the BIG side k ways on a per-row hash,
