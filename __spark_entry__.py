@@ -2171,6 +2171,24 @@ def _q112_incremental_dedup(spark, sf: str) -> DataFrame:
     )
 
 
+def _q126_corpus_mix(spark, sf: str) -> DataFrame:
+    """Corpus mixing sampler (operators/sampling.corpus_mix): assemble
+    web/code/books-style source proportions 0.5/0.3/0.2 at temperature
+    2 (p ∝ √w — flattened toward uniform) under a 40-doc budget; the
+    acceptance rule is a salted md5-bucket threshold per source, so
+    DuckDB replays the ENTIRE derivation — per-source counts, the
+    tempered normalization, the min(1, T·p/n) rate, the floor
+    threshold and the bucket predicate — and must select the exact
+    same rows."""
+    from watermark_detector_spark.operators.sampling import corpus_mix
+
+    d = _t(spark, sf, "documents")
+    return corpus_mix(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        temperature=2.0, budget=40,
+    ).select("doc_id", "source")
+
+
 def _q125_stream_salted_window(spark, sf: str) -> DataFrame:
     """Skew-proof STREAMING windowed agg (operators/skew
     .salted_windowed_stream_agg): salt → partial (window, type, salt)
@@ -2818,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_ivfpq_topk": _q123_ivfpq_topk,
         "q124_upsert_cdc_chain": _q124_upsert_cdc_chain,
         "q125_stream_salted_window": _q125_stream_salted_window,
+        "q126_corpus_mix": _q126_corpus_mix,
         # -- round 6: q84 FIRST — the one red row in CORRECTNESS_r05
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
@@ -3965,6 +3984,31 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes x ON new_id = x.doc_id
                        JOIN sizes y ON old_id = y.doc_id
             WHERE round(1.0 * i / (x.n + y.n - i), 4) >= 0.5
+        """,
+        # q126: the mixing derivation replayed END-TO-END — tempered
+        # proportions, per-source counts, min(1, T·p/n) rate, floor
+        # threshold, salted md5-bucket acceptance
+        "q126_corpus_mix": """
+            WITH n AS (
+              SELECT source, count(*) AS n FROM documents
+              WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+            pw AS (
+              SELECT source, n,
+                     pow(CASE source WHEN 'src0' THEN 0.5
+                                     WHEN 'src1' THEN 0.3
+                                     ELSE 0.2 END, 1.0 / 2.0) AS w
+              FROM n),
+            q AS (SELECT source, n,
+                         w / (SELECT sum(w) FROM pw) AS p FROM pw),
+            r AS (SELECT source,
+                         CAST(floor(least(1.0, 40.0 * p / n) * 10000)
+                              AS BIGINT) AS thr
+                  FROM q)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE CAST(('0x' || substring(
+                    md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 < r.thr
         """,
         # q122: both persisted-index probes replayed — batch 1 vs the
         # corpus, batch 2 vs corpus ∪ batch 1 (the index grew) — same

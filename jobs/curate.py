@@ -25,7 +25,11 @@ operators:
  10. dsir       (--dsir-target/--dsir-k) DSIR importance resampling:
                 keep k docs ∝ exp(hashed-bigram log-importance toward
                 the target corpus), Gumbel top-k, fully deterministic
- 11. write      curated parquet + one JSON line of funnel stats; with
+ 11. mix        (--mix src=w,...) per-source target proportions with
+                temperature (--mix-temperature) and optional doc
+                budget (--mix-budget): deterministic salted-bucket
+                acceptance per source, unlisted sources dropped
+ 12. write      curated parquet + one JSON line of funnel stats; with
                 --shard-size, fixed-size training shards instead
                 (md5 permutation, dense seq_id, partitionBy shard)
 
@@ -64,7 +68,9 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
            lm_nll_max: float | None = None, lm_vocab: int = 4096,
            near_keep: str = "min_id", dsir_target=None,
            dsir_k: int | None = None, shard_size: int | None = None,
-           dedup_against=None, dedup_sigs_path: str | None = None):
+           dedup_against=None, dedup_sigs_path: str | None = None,
+           mix: dict[str, float] | None = None,
+           mix_temperature: float = 1.0, mix_budget: int | None = None):
     """(curated DataFrame, funnel stats dict). Deterministic keeper
     rule at every stage: min doc_id survives — unless
     ``near_keep="best"``, which keeps the longest member of each
@@ -91,6 +97,16 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
             "dsir_target and dsir_k must be given together "
             f"(got target={'set' if dsir_target is not None else None}, "
             f"k={dsir_k!r})")
+    if mix is not None:
+        # reuse the operator's own checks BEFORE the pipeline runs — a
+        # bad mix spec must not cost the full gate+dedup execution
+        if not mix or any(w <= 0 for w in mix.values()):
+            raise ValueError(f"mix needs positive source weights, got {mix}")
+        if mix_temperature <= 0:
+            raise ValueError(
+                f"mix_temperature must be > 0, got {mix_temperature}")
+        if mix_budget is not None and mix_budget <= 0:
+            raise ValueError(f"mix_budget must be > 0, got {mix_budget}")
 
     from watermark_detector_spark.functions.text import (
         fingerprint,
@@ -301,6 +317,16 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         w = dsir_log_weights(pre_dsir, dsir_target)
         sel = importance_resample(w, dsir_k).select("doc_id")
         curated = pre_dsir.join(sel, "doc_id")
+    if mix is not None:
+        # final assembly: per-source target proportions (temperature-
+        # adjusted), deterministic salted-bucket acceptance — sources
+        # not listed in the mix are dropped
+        from watermark_detector_spark.operators.sampling import corpus_mix
+
+        pre_mix = curated.persist()  # counted here AND filtered below
+        n_pre_mix = pre_mix.count()
+        curated = corpus_mix(pre_mix, mix, temperature=mix_temperature,
+                             budget=mix_budget)
     if out is not None:
         if shard_size:
             # training-export layout: md5-permute + dense ids + fixed
@@ -333,7 +359,9 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         hit.unpersist()
     final = curated.count()
     dsir_on = dsir_target is not None and dsir_k
-    post_decon = n_pre_dsir if dsir_on else final
+    mix_on = mix is not None
+    post_mix_in = n_pre_mix if mix_on else final  # count entering mix
+    post_decon = n_pre_dsir if dsir_on else post_mix_in
     # after_near_dedup = the count right after the BATCH near-dedup,
     # i.e. before the corpus-dup, holdout and dsir drops
     post_near = post_decon + (
@@ -343,8 +371,11 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         stats["decontaminated"] = n_flagged
     stats["after_near_dedup"] = post_near
     if dsir_on:
-        stats["after_dsir"] = final
+        stats["after_dsir"] = post_mix_in
         pre_dsir.unpersist()
+    if mix_on:
+        stats["after_mix"] = final
+        pre_mix.unpersist()
     if out is not None and shard_size:
         # seq_id is dense 0..final-1 by construction — no extra scan
         stats["n_shards"] = -(-final // shard_size)
@@ -406,9 +437,26 @@ def main() -> None:  # pragma: no cover - CLI wrapper
                          "the first run, read back on every later "
                          "batch so repeated ingest runs never "
                          "re-shingle the standing corpus")
+    ap.add_argument("--mix", default=None,
+                    help="corpus mixing: comma list of source=weight "
+                         "(e.g. src0=0.5,src1=0.3,src2=0.2); unlisted "
+                         "sources are dropped")
+    ap.add_argument("--mix-temperature", type=float, default=1.0,
+                    help="mixing temperature: p ~ w^(1/T); T>1 "
+                         "flattens toward uniform")
+    ap.add_argument("--mix-budget", type=int, default=None,
+                    help="target doc count for the mix (default: "
+                         "largest feasible preserving the ratios)")
     args = ap.parse_args()
     if args.dedup_sigs and not args.dedup_against:
         ap.error("--dedup-sigs requires --dedup-against")
+    mix = None
+    if args.mix:
+        try:
+            mix = {s: float(w) for s, w in
+                   (kv.split("=", 1) for kv in args.mix.split(","))}
+        except ValueError as e:
+            ap.error(f"--mix expects source=weight[,source=weight...]: {e}")
 
     from watermark_detector_spark.session import get_spark
 
@@ -432,6 +480,8 @@ def main() -> None:  # pragma: no cover - CLI wrapper
         dedup_against=(spark.read.parquet(args.dedup_against)
                        if args.dedup_against else None),
         dedup_sigs_path=args.dedup_sigs,
+        mix=mix, mix_temperature=args.mix_temperature,
+        mix_budget=args.mix_budget,
     )
     print(json.dumps({"out": args.out, **stats}))
     spark.stop()

@@ -230,6 +230,77 @@ def test_incremental_near_dups_vs_batch(spark):
     assert jz == jf
 
 
+def test_corpus_mix_ratios_budget_and_determinism(spark):
+    """corpus_mix: (a) unlisted sources dropped; (b) with budget=None
+    the most-demanded source is taken whole and others scale to the
+    tempered ratios; (c) an explicit small budget downsamples every
+    source near T*p_s; (d) membership is deterministic (re-run picks
+    identical rows); (e) validation raises before any job."""
+    from watermark_detector_spark.operators.sampling import corpus_mix
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+        .alias("source"))
+    # temperature=1, weights 2:1 over s0:s1 — s2 unlisted
+    got = corpus_mix(docs, {"s0": 2.0, "s1": 1.0}).toPandas()
+    per = got.groupby("source").size().to_dict()
+    assert set(per) == {"s0", "s1"}
+    # n_s = 1000 each; p = (2/3, 1/3); T* = 1000/(2/3) = 1500 ->
+    # s0 taken whole, s1 at rate 1500*(1/3)/1000 = 0.5
+    assert per["s0"] == 1000
+    assert abs(per["s1"] - 500) < 60  # md5-bucket binomial noise
+    # explicit budget: 300 -> rates 0.2 / 0.1
+    small = corpus_mix(docs, {"s0": 2.0, "s1": 1.0}, budget=300).toPandas()
+    sper = small.groupby("source").size().to_dict()
+    assert abs(sper["s0"] - 200) < 45 and abs(sper["s1"] - 100) < 35
+    # the small draw is deterministic and (same salt+thresholds rule)
+    # re-runs pick the identical rows
+    again = corpus_mix(docs, {"s0": 2.0, "s1": 1.0}, budget=300).toPandas()
+    assert set(small["doc_id"]) == set(again["doc_id"])
+    # temperature flattens: T -> inf approaches uniform proportions
+    flat = corpus_mix(docs, {"s0": 8.0, "s1": 1.0}, temperature=1e9,
+                      budget=600).toPandas()
+    fper = flat.groupby("source").size().to_dict()
+    assert abs(fper["s0"] - fper["s1"]) < 70
+    import pytest as _pt
+    with _pt.raises(ValueError, match="weight"):
+        corpus_mix(docs, {"s0": -1.0})
+    with _pt.raises(ValueError, match="temperature"):
+        corpus_mix(docs, {"s0": 1.0}, temperature=0)
+    with _pt.raises(ValueError, match="budget"):
+        corpus_mix(docs, {"s0": 1.0}, budget=0)
+
+
+def test_curate_mix_stage(spark, tmp_path):
+    """curate(mix=...): the mix stage runs after selection, drops
+    unlisted sources, and the funnel stats stay monotone; bad mix
+    params raise before any job."""
+    from jobs.curate import curate
+
+    # per-doc-unique vocab (no cross-doc near-dups), English-gated via
+    # the interleaved "the" — same fixture family as the dsir test
+    rows = [
+        (i, " ".join("the w%dx%d y%dz%d" % (i, j, i, j)
+                     for j in range(8)), "s%d" % (i % 4))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    _, stats = curate(
+        spark, docs, repetition_gate=False, pii_scrub=False,
+        mix={"s0": 1.0, "s1": 1.0}, mix_budget=20,
+        out=str(tmp_path / "mixed"))
+    assert "after_mix" in stats
+    assert stats["after_mix"] <= stats["after_near_dedup"]
+    mixed = spark.read.parquet(str(tmp_path / "mixed"))
+    assert mixed.count() == stats["after_mix"] > 0
+    assert set(r["source"] for r in mixed.select("source")
+               .distinct().collect()) <= {"s0", "s1"}
+    with pytest.raises(ValueError, match="temperature"):
+        curate(spark, docs, mix={"s0": 1.0}, mix_temperature=-1)
+
+
 def test_neardup_index_persisted_two_ingests(spark, tmp_path):
     """NearDupIndex (the 100 TB ingest shape): corpus signatures built
     ONCE into the sink table; two successive ingests probe it from

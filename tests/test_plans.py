@@ -303,6 +303,45 @@ def test_bm25_zero_wide_shuffle(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_sketch_probes_broadcast_corpus_never_shuffles(spark):
+    """q119/q120/q121 probe shape pinned (PLANS.md): the d·w-row CMS /
+    ≤m-row Bloom bit set BROADCASTS into the probe join, and the probed
+    side reaches it with zero hash Exchanges — its only Exchange (where
+    one exists at all) is the final per-key fold. The stateless
+    bloom_probe_join has NO Exchange anywhere: the corpus rides the
+    scan through k broadcast joins, which is what lets it gate a
+    stream."""
+    from pyspark.sql import functions as F
+
+    from watermark_detector_spark.functions.sketches import (
+        bloom_bits,
+        bloom_contains,
+        bloom_probe_join,
+        cms_estimate,
+        cms_table,
+    )
+
+    corpus = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 50).cast("string").alias("v"))
+    keys = spark.range(100).select(F.col("id").cast("string").alias("key"))
+
+    est = cms_estimate(cms_table(corpus, F.col("v"), d=3, w=64),
+                       keys, F.col("key"))
+    plan = _plan(est)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # min fold
+
+    bits = bloom_bits(corpus, F.col("v"), k=3, m=512)
+    plan = _plan(bloom_contains(bits, keys, F.col("key")))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # ==k fold
+
+    plan = _plan(bloom_probe_join(corpus, bits, F.col("v")))
+    assert plan.count("BroadcastHashJoin") == 3, plan  # one per hash fn
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
 def test_hll_registers_two_phase(spark):
     """q117 (HLL): the register aggregate must be two-phase — map-side
     partial_max per (group, bucket) before ONE hash Exchange. The

@@ -105,6 +105,70 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.where(bucket < frac)
 
 
+def corpus_mix(df: DataFrame, weights: dict[str, float],
+               temperature: float = 1.0, budget: int | None = None,
+               source_col: str = "source", key_col: str = "doc_id",
+               salt: str = "mix") -> DataFrame:
+    """Per-source corpus MIXING with temperature — the post-selection
+    assembly step every training pipeline runs (combine curated
+    sources at target proportions, e.g. web 0.5 / code 0.3 / books
+    0.2, optionally temperature-flattened the way multilingual
+    pipelines upsample tail languages).
+
+    Target proportion p_s ∝ weights[s]^(1/temperature), normalized
+    over the listed sources (τ=1 uses the weights as given; τ→∞ →
+    uniform; τ<1 sharpens). With a doc ``budget`` T the expected take
+    from source s is T·p_s, so the acceptance rate is
+    min(1, T·p_s / n_s); with budget=None the largest feasible budget
+    is used — T* = min_s n_s/p_s, i.e. the most-demanded source is
+    taken whole and every other source is scaled to preserve the
+    target RATIOS (never oversampling: this operator selects, it does
+    not replicate).
+
+    Acceptance is an md5-bucket threshold per source on a SALTED key
+    (independent of hash_split / stratified_sample buckets), so
+    membership is a pure function of the data: deterministic across
+    runs, engines and partitionings — DuckDB replays the whole
+    derivation, thresholds included. Sources not in ``weights`` are
+    dropped. Scale shape: one per-source count agg (rows = number of
+    sources — collected, bounded by construction), then the corpus
+    rides the scan through a literal CASE predicate: zero shuffle."""
+    import math
+
+    if not weights:
+        raise ValueError("corpus_mix: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"corpus_mix: non-positive weight in {weights}")
+    if temperature <= 0:
+        raise ValueError(f"corpus_mix: temperature must be > 0, got "
+                         f"{temperature}")
+    if budget is not None and budget <= 0:
+        raise ValueError(f"corpus_mix: budget must be > 0, got {budget}")
+    pw = {s: w ** (1.0 / temperature) for s, w in weights.items()}
+    tot = sum(pw.values())
+    p = {s: v / tot for s, v in pw.items()}
+    in_mix = df.where(F.col(source_col).isin(list(weights)))
+    counts = {r[source_col]: r["n"]
+              for r in in_mix.groupBy(source_col)
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    present = [s for s in weights if counts.get(s)]
+    if not present:
+        return in_mix.where(F.lit(False))
+    t_star = (budget if budget is not None
+              else min(counts[s] / p[s] for s in present))
+    thr = {s: int(math.floor(min(1.0, t_star * p[s] / counts[s])
+                             * N_BUCKETS))
+           for s in present}
+    bucket = hash_bucket(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    cond = None
+    for s in present:
+        c = F.lit(thr[s])
+        cond = (F.when(F.col(source_col) == s, c) if cond is None
+                else cond.when(F.col(source_col) == s, c))
+    return in_mix.where(bucket < cond.otherwise(F.lit(0)))
+
+
 def hash_uniform(key: Column, salt: str = "u0") -> Column:
     """Deterministic uniform in (0, 1): first 8 md5 hex nibbles of
     ``salt:key`` scaled by 2^32, with a half-step offset so the value
