@@ -353,11 +353,83 @@ def _finish(spark, timings, extras, cores):
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 **_LOAD_GATE,
                 **extras,
+                **_noise_normalized(timings, extras),
             }
         )
     )
     spark.stop()
     _prune_run_dirs()
+
+
+def _noise_normalized(timings: dict, extras: dict) -> dict:
+    """Host-drift normalization: the single-thread token-scan canary
+    (detect_us_per_doc_*sigs_token) tracks HOST speed, not code speed —
+    under external load it inflates roughly with every multi-core
+    query (the diagnostic used informally since round 5). Dividing this
+    run's per-query seconds by the canary ratio vs the PREVIOUS round's
+    bench makes cross-round comparisons separate real regressions from
+    ambient load automatically. Emits:
+      detect_ratio_vs_prev   this run's canary / previous round's
+      queries_normalized     per-query sec ÷ ratio (compare these to
+                             the previous round's RAW seconds)
+      top_regressions        worst 5 normalized-vs-prev deltas > +10%
+      prev_bench             which file the baseline came from
+    Baseline: $WMD_BENCH_PREV if set, else the newest BENCH_r*.json in
+    the repo root. Silent no-op (fields null) when none exists."""
+    import glob
+
+    prev_path = os.environ.get("WMD_BENCH_PREV")
+    if not prev_path:
+        cands = sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json")))
+        prev_path = cands[-1] if cands else None
+    out = {"detect_ratio_vs_prev": None, "queries_normalized": None,
+           "top_regressions": None, "prev_bench": prev_path}
+    if not prev_path or not os.path.exists(prev_path):
+        return out
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        if "queries" not in prev and "tail" in prev:
+            # the round driver wraps bench's JSON line inside a "tail"
+            # capture — extract the embedded record (it is the final
+            # line of the captured output)
+            tail = prev["tail"]
+            start = tail.rfind('{"metric"')
+            if start < 0:
+                return out
+            prev = json.loads(tail[start:].splitlines()[0])
+    except Exception:
+        return out
+    canaries = ["detect_us_per_doc_400sigs_token",
+                "detect_us_per_doc_5000sigs_token"]
+    cur = [extras.get(c) for c in canaries]
+    old = [prev.get(c) for c in canaries]
+    if not all(cur) or not all(old):
+        return out
+    ratio = (sum(cur) / len(cur)) / (sum(old) / len(old))
+    out["detect_ratio_vs_prev"] = round(ratio, 4)
+    norm = {k: round(v / ratio, 3) for k, v in timings.items()}
+    out["queries_normalized"] = norm
+    cur_sf = SF_DIR.rstrip("/").split("sf")[-1]
+    if str(prev.get("sf")) != cur_sf:
+        # different scale factor — normalized times are still useful,
+        # but per-query deltas vs the baseline would be meaningless
+        return out
+    prev_q = prev.get("queries") or {}
+    regs = []
+    for k, v in norm.items():
+        pv = prev_q.get(k)
+        if pv and pv > 0:
+            pct = (v / pv - 1.0) * 100
+            if pct > 10.0:
+                regs.append({"query": k, "prev_sec": pv,
+                             "now_sec_normalized": v,
+                             "pct": round(pct, 1)})
+    regs.sort(key=lambda r: -r["pct"])
+    out["top_regressions"] = regs[:5]
+    return out
 
 
 def _prune_run_dirs() -> None:
