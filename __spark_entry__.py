@@ -2327,12 +2327,16 @@ def _q122_neardup_index(spark, sf: str) -> DataFrame:
         b1 = d.where(F.col("doc_id") % 5 == 0)
         b2 = d.where(F.col("doc_id") % 5 == 1)
         idx.build(corpus)
-        h1 = idx.ingest(spark, b1, corpus).withColumn(
-            "ingest_batch", F.lit(1))
-        h2 = idx.ingest(spark, b2, corpus.unionByName(b1)).withColumn(
-            "ingest_batch", F.lit(2))
+        # keep r1/r2 referenced through the write: the ingest result
+        # carries the finalizer that releases the candidate cache, and
+        # wrapping it (withColumn) drops that reference otherwise
+        r1 = idx.ingest(spark, b1, corpus)
+        r2 = idx.ingest(spark, b2, corpus.unionByName(b1))
         out = os.path.join(root, "hits")
-        h1.unionByName(h2).write.parquet(out)
+        (r1.withColumn("ingest_batch", F.lit(1))
+         .unionByName(r2.withColumn("ingest_batch", F.lit(2)))
+         .write.parquet(out))
+        del r1, r2
         _NDI_STAGE_CACHE[key] = out
         import atexit
 

@@ -353,7 +353,7 @@ def _finish(spark, timings, extras, cores):
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 **_LOAD_GATE,
                 **extras,
-                **_noise_normalized(timings, extras),
+                **_noise_normalized(timings, extras, cores),
             }
         )
     )
@@ -361,7 +361,7 @@ def _finish(spark, timings, extras, cores):
     _prune_run_dirs()
 
 
-def _noise_normalized(timings: dict, extras: dict) -> dict:
+def _noise_normalized(timings: dict, extras: dict, cores: int) -> dict:
     """Host-drift normalization: the single-thread token-scan canary
     (detect_us_per_doc_*sigs_token) tracks HOST speed, not code speed —
     under external load it inflates roughly with every multi-core
@@ -413,9 +413,10 @@ def _noise_normalized(timings: dict, extras: dict) -> dict:
     norm = {k: round(v / ratio, 3) for k, v in timings.items()}
     out["queries_normalized"] = norm
     cur_sf = SF_DIR.rstrip("/").split("sf")[-1]
-    if str(prev.get("sf")) != cur_sf:
-        # different scale factor — normalized times are still useful,
-        # but per-query deltas vs the baseline would be meaningless
+    if str(prev.get("sf")) != cur_sf or prev.get("cpus") != cores:
+        # different scale factor or core budget (e.g. a 4-core scaling
+        # epoch vs the 32-core round bench) — normalized times are
+        # still emitted, but per-query deltas would be meaningless
         return out
     prev_q = prev.get("queries") or {}
     regs = []

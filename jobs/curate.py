@@ -280,16 +280,26 @@ def curate(spark, docs, lang: str = "en", min_quality: float = 0.5,
         if dedup_sigs_path is not None:
             from watermark_detector_spark.streaming.sink import _HadoopFS
 
-            if not _HadoopFS(spark, dedup_sigs_path).exists(dedup_sigs_path):
+            # completeness gate is the _SUCCESS marker, not the dir: a
+            # crashed first run leaves a partial directory that would
+            # otherwise be silently accepted as the full index forever
+            # (every later batch under-deduped); overwrite also clears
+            # such leftovers on rebuild
+            ok = os.path.join(dedup_sigs_path, "_SUCCESS")
+            if not _HadoopFS(spark, dedup_sigs_path).exists(ok):
                 minhash_signatures(dedup_against).write.mode(
-                    "errorifexists").parquet(dedup_sigs_path)
+                    "overwrite").parquet(dedup_sigs_path)
             corpus_sigs = spark.read.parquet(dedup_sigs_path)
-        hit = (incremental_near_dups(curated, dedup_against,
-                                     threshold=jaccard,
-                                     corpus_sigs=corpus_sigs)
-               .select(F.col("new_id").alias("doc_id")).distinct()
+        # `inc` stays referenced until after hit.count() materializes:
+        # it carries the finalizer releasing the confirm stage's
+        # candidate cache, and chaining would drop it pre-action
+        inc = incremental_near_dups(curated, dedup_against,
+                                    threshold=jaccard,
+                                    corpus_sigs=corpus_sigs)
+        hit = (inc.select(F.col("new_id").alias("doc_id")).distinct()
                .persist())
         n_corpus_dups = hit.count()
+        del inc
         curated = curated.join(hit, "doc_id", "left_anti")
         stats["corpus_dups_dropped"] = n_corpus_dups
     if holdout is not None:

@@ -285,11 +285,13 @@ def main() -> None:
             md.append(_row(e))
     md += [
         "",
-        "History (same N-vs-4N protocol, pre-gating): sustained eff "
-        "r2 0.88, r3 0.89, r4 median 0.86 [0.80-1.06]; batch r2 0.85, "
+        "History (same N-vs-4N protocol; r5 onward load-gated): "
+        "sustained eff r2 0.88, r3 0.89, r4 median 0.86 [0.80-1.06], "
+        "r5 0.88 [0.80-0.91], r7 0.87 [0.71-0.93]; batch r2 0.85, "
         "r3 0.94, r4 median 0.73 [0.65-0.99] (two of three r4 epochs "
         "were later shown load-polluted — the gate now rejects those "
-        "automatically instead of leaving it to post-hoc analysis).",
+        "automatically instead of leaving it to post-hoc analysis), "
+        "r5 0.89 [0.79-0.93], r7 0.84 [0.69-0.90].",
         "",
         "Raw JSON (accepted epochs; 1-executor line then 4-executor "
         "line each):",

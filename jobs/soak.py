@@ -198,9 +198,12 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         k = kept()
+        # pmod, not %: xxhash64 is signed and Spark's % preserves the
+        # dividend's sign, so `% 10 < 9` would classify ~95% hot
         return k.select(
             F.col("warc_ts").alias("ts"),
-            F.when(F.xxhash64("domain") % 10 < 9, F.lit("hot"))
+            F.when(F.pmod(F.xxhash64("domain"), F.lit(10)) < 9,
+                   F.lit("hot"))
             .otherwise(F.col("domain")).alias("domain_key"),
             F.col("score").alias("value"),
             F.col("url").alias("event_id"),

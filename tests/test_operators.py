@@ -586,6 +586,33 @@ def test_dedup_queries_leave_no_cached_storage(spark):
     leaked = persistent_ids() - before
     assert not leaked, f"dedup operators leaked persistent RDDs: {leaked}"
 
+    # the RENAMED path (incremental_near_dups): the dup_of rename must
+    # happen INSIDE _jaccard_confirm, before the finalizer attaches — a
+    # caller-side withColumnRenamed would drop the only reference and
+    # unpersist the candidate cache before any action ran (regression:
+    # round-7 review)
+    from watermark_detector_spark.operators.dedup import (
+        incremental_near_dups,
+    )
+
+    inc = incremental_near_dups(
+        docs.where("doc_id >= 15"), docs.where("doc_id < 15"),
+        threshold=0.3)
+    gc.collect()
+    held = persistent_ids() - before
+    assert len(held) == 1, (
+        "cand cache must stay pinned while the returned frame is "
+        f"referenced, got {held}")
+    inc.collect()
+    del inc
+    gc.collect()
+    deadline = _time.time() + 30
+    while persistent_ids() - before and _time.time() < deadline:
+        spark.sparkContext._jvm.System.gc()
+        _time.sleep(0.5)
+    leaked = persistent_ids() - before
+    assert not leaked, f"incremental_near_dups leaked: {leaked}"
+
 
 def test_dedup_clusters_connected_components(spark):
     """Transitive closure over pairs: chains, cycles, and isolated pairs

@@ -90,7 +90,8 @@ def test_salted_streaming_window_agg_matches_unsalted(
         )
         return kept.select(
             F.col("warc_ts").alias("ts"),
-            F.when(F.xxhash64("domain") % 4 < 3, F.lit("hot"))
+            F.when(F.pmod(F.xxhash64("domain"), F.lit(4)) < 3,
+                   F.lit("hot"))
             .otherwise(F.col("domain")).alias("k"),
             F.col("score").alias("value"),
             F.col("url").alias("event_id"),

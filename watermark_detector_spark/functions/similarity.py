@@ -583,7 +583,9 @@ def ivfpq_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
                                     vec_col: pd.Series([], dtype="object"),
                                     "cell": pd.Series([], dtype="int32")})
                 continue
-            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            nrm = np.linalg.norm(x, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0  # zero vector: probe cells arbitrary
+            xn = x / nrm
             order = np.argsort(-(xn @ c.T), axis=1)[:, :nprobe]
             ids = np.repeat(pdf[id_col].to_numpy(), nprobe)
             vecs = pdf[vec_col].repeat(nprobe).reset_index(drop=True)
@@ -612,7 +614,9 @@ def ivfpq_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
                      "_adc": pd.Series([], dtype="float64")})
                 continue
             q = np.array(list(pdf["_vq"]), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            qnrm = np.linalg.norm(q, axis=1, keepdims=True)
+            qnrm[qnrm == 0.0] = 1.0  # NaN scores would corrupt the rank
+            qn = q / qnrm
             cell = pdf["cell"].to_numpy()
             codes = np.array(list(pdf["codes"]), dtype=np.int64)
             score = np.einsum("bd,bd->b", qn, c[cell])

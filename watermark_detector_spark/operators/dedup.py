@@ -113,9 +113,11 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
 
 def minhash_bands_col(text, n_bands: int = 4, n: int = 3):
     """ROW-LOCAL banded minhash: array<string> of length ``n_bands``
-    where element b is min(md5(b || ':' || shingle)) over the doc's
-    distinct word n-gram shingles — the same signature family as
-    ``minhash_signatures`` but as a pure column expression: no explode,
+    where element b is min over the doc's distinct word n-gram
+    shingles of substr(md5(shingle), 8b+1, 8) — band b's hash is the
+    b-th disjoint 8-hex slice of ONE md5 digest per shingle, the same
+    signature family as ``minhash_signatures`` (each shingle hashed
+    once, not once per band) — but as a pure column expression: no explode,
     no groupBy, ZERO shuffle, so it rides the scan and (critically) is
     usable on a STREAMING DataFrame without becoming a stateful
     aggregation. Empty array when the doc has fewer than ``n`` tokens.
@@ -199,7 +201,8 @@ def minhash_lsh_candidates(df: DataFrame, n_bands: int = 4, id_col: str = "doc_i
 
 def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
                      a_key: str, b_key: str, threshold: float,
-                     id_col: str, text_col: str, n: int) -> DataFrame:
+                     id_col: str, text_col: str, n: int,
+                     b_out: str | None = None) -> DataFrame:
     """THE exact-Jaccard-on-candidates confirm stage, shared by every
     candidate-generating dedup path (near_dup_pairs,
     incremental_near_dups) so the formula, rounding and threshold
@@ -223,7 +226,15 @@ def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
     result is dropped) + a ``weakref.finalize`` on the returned frame
     that unpersists when the caller releases it. persist keeps lineage,
     so an early unpersist can only cost recomputation, never
-    correctness."""
+    correctness.
+
+    ``b_out``: optional output name for ``b_key`` — the rename happens
+    HERE, before the finalizer attaches, because a caller-side
+    ``.withColumnRenamed`` would drop the only reference to this
+    function's return value and fire the finalizer immediately
+    (CPython refcounting), unpersisting the candidate cache before any
+    action ran — silently restoring the recompute the persist exists
+    to prevent."""
     cand = cand.persist()
     cand.count()  # materialize now: ONE evaluation of the LSH subplan
 
@@ -253,6 +264,8 @@ def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
+    if b_out is not None:
+        out = out.withColumnRenamed(b_key, b_out)
     weakref.finalize(out, _unpersist_quietly, cand)
     return out
 
@@ -760,8 +773,8 @@ def incremental_near_dups(new_docs: DataFrame, corpus: DataFrame,
     )
     return _jaccard_confirm(
         cand, new_docs, corpus, "new_id", "old_id", threshold,
-        id_col, text_col, n,
-    ).withColumnRenamed("old_id", "dup_of")
+        id_col, text_col, n, b_out="dup_of",
+    )
 
 
 class NearDupIndex:
@@ -792,6 +805,16 @@ class NearDupIndex:
     the corpus. Reference semantics: the same near-duplicate relation
     as ``near_dup_pairs`` (SURVEY §2 dedup family), restricted
     new-vs-indexed.
+
+    Concurrency contract — SINGLE WRITER, like every sink in this
+    repo: ``ingest`` derives the next batch id from the committed
+    ledger, so retries of the SAME ingest are exactly-once no-ops, but
+    two concurrent ingests of DIFFERENT batches would race to the same
+    id — the loser's write becomes a replay no-op, its signatures are
+    never indexed, and its probe reads the winner's signatures back as
+    its own (silently wrong hits). Serialize ingests (they are the
+    per-crawl-batch step of one pipeline; an OCC ledger à la Delta is
+    out of scope).
     """
 
     def __init__(self, root: str, threshold: float = 0.5,
@@ -855,4 +878,5 @@ class NearDupIndex:
         return _jaccard_confirm(
             cand, new_docs, indexed_docs, "new_id", "old_id",
             self.threshold, self.id_col, self.text_col, self.n,
-        ).withColumnRenamed("old_id", "dup_of")
+            b_out="dup_of",
+        )

@@ -130,7 +130,10 @@ def corpus_mix(df: DataFrame, weights: dict[str, float],
     membership is a pure function of the data: deterministic across
     runs, engines and partitionings — DuckDB replays the whole
     derivation, thresholds included. Sources not in ``weights`` are
-    dropped. Scale shape: one per-source count agg (rows = number of
+    dropped. Proportions normalize over the LISTED sources: a listed
+    source absent from the corpus keeps its probability mass, which
+    then goes unfilled (the budget under-fills rather than silently
+    re-normalizing the mix toward the sources that happen to exist). Scale shape: one per-source count agg (rows = number of
     sources — collected, bounded by construction), then the corpus
     rides the scan through a literal CASE predicate: zero shuffle."""
     import math
