@@ -576,7 +576,8 @@ def test_dedup_queries_leave_no_cached_storage(spark):
     nd = near_dup_pairs(docs, threshold=0.3)
     nd.collect()
     held = persistent_ids() - before
-    assert len(held) <= 1, f"near_dup_pairs pinned more than cand: {held}"
+    # self-dedup pins cand + the shared sized-shingle table, nothing else
+    assert len(held) <= 2, f"near_dup_pairs pinned more than cand+sz: {held}"
     del nd
     gc.collect()
     deadline = _time.time() + 30

@@ -237,18 +237,36 @@ def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
     to prevent."""
     cand = cand.persist()
     cand.count()  # materialize now: ONE evaluation of the LSH subplan
+    caches = [cand]
 
-    def _sized(docs: DataFrame, key: str):
-        cut = docs.join(
-            cand.select(F.col(key).alias(id_col)).distinct(),
-            id_col, "left_semi")
+    def _sized(docs: DataFrame, keys: list[str]):
+        ids = cand.select(
+            F.col(keys[0]).alias(id_col)) if len(keys) == 1 else (
+            cand.select(F.col(keys[0]).alias(id_col))
+            .unionAll(cand.select(F.col(keys[1]).alias(id_col))))
+        cut = docs.join(ids.distinct(), id_col, "left_semi")
         return shingles(cut, id_col, text_col, n).withColumn(
             "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
 
-    sa = _sized(a_docs, a_key).select(
-        F.col(id_col).alias(a_key), "shingle", F.col("n_sh").alias("n_a"))
-    sb = _sized(b_docs, b_key).select(
-        F.col(id_col).alias(b_key), "shingle", F.col("n_sh").alias("n_b"))
+    if a_docs is b_docs:
+        # SELF-dedup (near_dup_pairs): both confirm sides are the same
+        # docs — shingle + per-doc-count ONCE (cut to ids on either
+        # side of a candidate pair) and alias it twice, instead of two
+        # full shingle/window passes over the same corpus. persist: the
+        # two downstream joins would otherwise each recompute it.
+        sz = _sized(a_docs, [a_key, b_key]).persist()
+        caches.append(sz)
+        sa = sz.select(F.col(id_col).alias(a_key), "shingle",
+                       F.col("n_sh").alias("n_a"))
+        sb = sz.select(F.col(id_col).alias(b_key), "shingle",
+                       F.col("n_sh").alias("n_b"))
+    else:
+        sa = _sized(a_docs, [a_key]).select(
+            F.col(id_col).alias(a_key), "shingle",
+            F.col("n_sh").alias("n_a"))
+        sb = _sized(b_docs, [b_key]).select(
+            F.col(id_col).alias(b_key), "shingle",
+            F.col("n_sh").alias("n_b"))
     out = (
         cand.join(sa, a_key)
         .join(sb, [b_key, "shingle"])
@@ -266,7 +284,8 @@ def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
     )
     if b_out is not None:
         out = out.withColumnRenamed(b_key, b_out)
-    weakref.finalize(out, _unpersist_quietly, cand)
+    for c in caches:
+        weakref.finalize(out, _unpersist_quietly, c)
     return out
 
 
