@@ -2218,6 +2218,42 @@ def _q125_stream_salted_window(spark, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+_ANN_STAGE_CACHE: dict[str, str] = {}
+
+
+def _q127_ann_index(spark, sf: str) -> DataFrame:
+    """PERSISTED ANN index (functions/similarity.AnnIndex — the vector
+    analog of q122's near-dup index): the coarse-quantizer + PQ
+    codebooks and the tinyint code table live in exactly-once sink
+    tables on disk, built once from the standing corpus (vec_id%5!=0);
+    the arriving batch (vec_id%5==0) is encoded with the FROZEN model
+    and appended, becoming immediately searchable. The query scans the
+    code table from disk in its EXACT mode (nprobe == n_cells,
+    rerank=None) so the result over corpus ∪ batch equals brute-force
+    top-k — q21's SQL oracle — pinning model persistence/reload,
+    frozen-model encoding, ledger append and the disk-code search
+    path. Staged once per (session, sf): ingest mutates the index."""
+    from watermark_detector_spark.functions.similarity import AnnIndex
+
+    key = f"{id(spark)}:{sf}"
+    if key not in _ANN_STAGE_CACHE:
+        os.makedirs(_TMP_ROOT, exist_ok=True)
+        root = tempfile.mkdtemp(prefix="wmd_ann_", dir=_TMP_ROOT)
+        e = _t(spark, sf, "embeddings")
+        idx = AnnIndex(os.path.join(root, "index"), dim=64, n_cells=4,
+                       m=8, ksub=16, n_iters=2)
+        idx.build(e.where(F.col("vec_id") % 5 != 0))
+        idx.ingest(e.where(F.col("vec_id") % 5 == 0))
+        out = os.path.join(root, "topk")
+        idx.topk(e.where(F.col("vec_id") < 10), e, k=3, nprobe=4,
+                 rerank=None).write.parquet(out)
+        _ANN_STAGE_CACHE[key] = out
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return spark.read.parquet(_ANN_STAGE_CACHE[key])
+
+
 _CDC_STAGE_CACHE: dict[str, str] = {}
 
 
@@ -2841,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_upsert_cdc_chain": _q124_upsert_cdc_chain,
         "q125_stream_salted_window": _q125_stream_salted_window,
         "q126_corpus_mix": _q126_corpus_mix,
+        "q127_ann_index": _q127_ann_index,
         # -- round 6: q84 FIRST — the one red row in CORRECTNESS_r05
         #    (driver session lacked the python filterPushdown conf;
         #    warcish.register now sets it at runtime) --
@@ -5138,6 +5175,29 @@ def oracle_sql() -> dict[str, str]:
         # q28: the real detect pandas UDF, replayed in SQL (see
         # _detect_docs_sql docstring for why this is exact)
         "q28_detect_udf_docs": _detect_docs_sql(),
+        # q127: persisted ANN index probed in exact mode over
+        # corpus ∪ ingested batch ⇒ brute-force top-k oracle (q21/q58/
+        # q123's SQL)
+        "q127_ann_index": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_sum(list_transform(range(1, len(q.embedding) + 1),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+              FROM n q JOIN n c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10)
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored
+            QUALIFY rank <= 3
+        """,
         # q123: IVF-PQ at nprobe == n_cells with rerank=None (every ADC
         # candidate re-scored exactly against raw vectors) is exact ⇒
         # brute-force top-k is the oracle (same SQL as q21/q58)

@@ -408,6 +408,47 @@ def test_ivfpq_topk_exact_mode_and_recall(spark):
         pq_train(emb, dim=64, cents=cents, m=8, ksub=256)
 
 
+def test_ann_index_persisted_build_ingest_search(spark, tmp_path):
+    """AnnIndex: model + codes persist to sink tables; a batch encoded
+    with the FROZEN model becomes searchable; exact mode over
+    corpus ∪ batch equals brute force; build/ingest replays are
+    ledger no-ops; approximate probe still finds most true neighbors."""
+    from watermark_detector_spark.functions.similarity import AnnIndex
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").cache()
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+
+    idx = AnnIndex(str(tmp_path / "ann"), dim=64, n_cells=8, m=8,
+                   ksub=16)
+    idx.build(corpus)
+    idx.build(corpus)  # replay: no-op
+    assert idx.codes_sink.committed_batches() == [0]
+    # model round-trips exactly through the sink table
+    import numpy as np
+    cents, books = idx._model(spark)
+    assert cents.shape == (8, 64) and books.shape == (8, 16, 8)
+    assert np.isfinite(cents).all() and np.isfinite(books).all()
+
+    idx.ingest(batch)
+    assert idx.codes_sink.committed_batches() == [0, 1]
+    assert idx.codes_sink.read(spark).count() == emb.count()
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, k=3, n_queries=10).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    got = idx.topk(queries, emb, k=3, nprobe=8, rerank=None).toPandas()
+    g = {(r.query_id, r.neighbor_id) for r in got.itertuples()}
+    assert g == e  # exact over corpus ∪ ingested batch
+    # ingested vectors really are searchable (some neighbor % 4 == 0)
+    assert any(n % 4 == 0 for _, n in g)
+    # approximate operating point: disk codes + shallow rerank
+    approx = idx.topk(queries, emb, k=3, nprobe=3, rerank=16).toPandas()
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.3
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     """Resize (per-row transform w/ typed target dims) and frame
     sampling (row expander) plumbing: fan-out counts, null-payload

@@ -549,8 +549,8 @@ def ivfpq_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
     q·(centroid + Σ_j codebook_j[code_j]) computed from the CODES, no
     raw candidate vector touched — then the top ``rerank`` per query
     are re-scored with exact cosine against the raw vectors (one keyed
-    join back to the corpus table: disk-resident vectors are read for
-    rerank candidates only). ``rerank=None`` reranks every candidate,
+    join back to the corpus table: disk-resident vectors are read only
+    for rerank candidates). ``rerank=None`` reranks every candidate,
     which at nprobe == n_cells makes the output EXACT (the contract
     query's oracle mode — the codes still drive the plumbing, but no
     true neighbor can be cut before exact scoring).
@@ -560,17 +560,34 @@ def ivfpq_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
     vectors appear only in the rerank join, streamed from storage.
     Shuffle shape: one (cell) equi-join for candidates, one (id) join
     for rerank, one top-k window — same count as ivf_topk."""
+    cents = ivf_centroids(df, dim, n_cells, n_iters, id_col, vec_col)
+    books = pq_train(df, dim, cents, m, ksub, id_col=id_col,
+                     vec_col=vec_col)
+    encoded = pq_encode(df, cents, books, id_col, vec_col)
+    queries = df.select(id_col, vec_col)
+    if n_queries is not None:
+        queries = queries.where(F.col(id_col) < n_queries)
+    return _ivfpq_search(queries, encoded, df, cents, books, k, nprobe,
+                         rerank, id_col, vec_col)
+
+
+def _ivfpq_search(queries: DataFrame, encoded: DataFrame,
+                  raw: DataFrame, cents, books, k: int, nprobe: int,
+                  rerank: int | None, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """The IVF-PQ query pipeline shared by :func:`ivfpq_topk`
+    (index derived inline) and :class:`AnnIndex` (index scanned from
+    the persisted sink table): probe nprobe cells per query, ADC-order
+    candidates from CODES alone, rerank the survivors with exact
+    cosine against ``raw``. ``encoded`` must have (id_col, cell,
+    codes) as produced by :func:`pq_encode`."""
     import numpy as np
     import pandas as pd
 
-    cents = ivf_centroids(df, dim, n_cells, n_iters, id_col, vec_col)
     nprobe = min(nprobe, len(cents))
-    books = pq_train(df, dim, cents, m, ksub, id_col=id_col,
-                     vec_col=vec_col)
-    encoded = pq_encode(df, cents, books, id_col, vec_col).select(
+    encoded = encoded.select(
         F.col(id_col).alias("neighbor_id"), "cell", "codes")
-
-    sc = df.sparkSession.sparkContext
+    sc = queries.sparkSession.sparkContext
     b_c = sc.broadcast(cents)
     b_b = sc.broadcast(books)
 
@@ -592,10 +609,7 @@ def ivfpq_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
             yield pd.DataFrame({id_col: ids, vec_col: vecs,
                                 "cell": order.ravel().astype("int32")})
 
-    queries = df.select(id_col, vec_col)
-    if n_queries is not None:
-        queries = queries.where(F.col(id_col) < n_queries)
-    probes = queries.mapInPandas(
+    probes = queries.select(id_col, vec_col).mapInPandas(
         _probe, schema=f"{id_col} long, {vec_col} array<float>, cell int"
     ).select(F.col(id_col).alias("query_id"),
              F.col(vec_col).alias("_vq"), "cell")
@@ -635,12 +649,12 @@ def ivfpq_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
         scored = (scored.withColumn("_arn", F.row_number().over(wa))
                   .where(F.col("_arn") <= rerank)
                   .drop("_arn"))
-    raw = df.select(F.col(id_col).alias("neighbor_id"),
-                    F.col(vec_col).alias("_vc"))
+    rawv = raw.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_vc"))
     qraw = queries.select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("_vq2"))
     exact = (
-        scored.join(raw, "neighbor_id").join(qraw, "query_id")
+        scored.join(rawv, "neighbor_id").join(qraw, "query_id")
         .select("query_id", "neighbor_id",
                 (_dot(F.col("_vq2"), F.col("_vc"))
                  / (_norm(F.col("_vq2")) * _norm(F.col("_vc"))))
@@ -654,6 +668,104 @@ def ivfpq_topk(df: DataFrame, dim: int, k: int = 3, n_cells: int = 8,
         .select("query_id", "neighbor_id", "rank",
                 F.round(F.col("_cos"), 4).alias("cosine"))
     )
+
+
+class AnnIndex:
+    """PERSISTED IVF-PQ ANN index over exactly-once sink tables — the
+    ANN analog of operators/dedup.NearDupIndex, and the shape a
+    standing-corpus vector index actually has at 10^12 docs: the model
+    (coarse centroids + PQ codebooks, a few KB) and the code table
+    (N·(12+m) bytes) live ON DISK under one root, built once from the
+    standing corpus; each arriving batch is encoded with the FROZEN
+    model and appended as the next committed batch, becoming
+    immediately searchable; queries scan the code table from disk
+    (columnar, a few bytes per indexed doc) and touch raw vectors only
+    for their rerank candidates. Encoding each batch costs O(batch);
+    nothing is ever re-trained or re-encoded. The sink's idempotent
+    ledger makes both build and ingest exactly-once under retries;
+    like every sink in this repo the writer side is SINGLE-WRITER
+    (concurrent ingests would race the next batch id — serialize
+    them).
+
+    Frozen-model caveat (standard FAISS practice): drift between the
+    training corpus and later batches degrades recall, not
+    correctness — rebuild when the corpus has grown far beyond the
+    training sample."""
+
+    def __init__(self, root: str, dim: int, n_cells: int = 8,
+                 m: int = 8, ksub: int = 16, n_iters: int = 3,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        from ..streaming.sink import ExactlyOnceParquetSink
+
+        self.model_sink = ExactlyOnceParquetSink(
+            root.rstrip("/") + "/model", output_partitions=1)
+        self.codes_sink = ExactlyOnceParquetSink(
+            root.rstrip("/") + "/codes", output_partitions=4)
+        self.dim, self.n_cells, self.m, self.ksub = dim, n_cells, m, ksub
+        self.n_iters = n_iters
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def build(self, corpus: DataFrame) -> None:
+        """Train the coarse quantizer + codebooks on the standing
+        corpus and commit model (batch 0 of the model table) and the
+        corpus codes (batch 0 of the code table). Idempotent."""
+        import numpy as np
+
+        spark = corpus.sparkSession
+        cents = ivf_centroids(corpus, self.dim, self.n_cells,
+                              self.n_iters, self.id_col, self.vec_col)
+        books = pq_train(corpus, self.dim, cents, self.m, self.ksub,
+                         id_col=self.id_col, vec_col=self.vec_col)
+        rows = [("cent", int(i), 0, [float(x) for x in cents[i]])
+                for i in range(cents.shape[0])]
+        rows += [("book", int(j), int(c),
+                  [float(x) for x in books[j, c]])
+                 for j in range(books.shape[0])
+                 for c in range(books.shape[1])]
+        model = spark.createDataFrame(
+            rows, "kind string, i int, j int, vec array<double>")
+        self.model_sink.write_batch(model, 0)
+        self.codes_sink.write_batch(
+            pq_encode(corpus, cents, books, self.id_col, self.vec_col), 0)
+
+    def _model(self, spark):
+        """(cents, books) reconstructed from the model table — a few
+        KB, one bounded collect."""
+        import numpy as np
+
+        rows = self.model_sink.read(spark).collect()
+        cents = np.zeros((self.n_cells, self.dim))
+        dsub = self.dim // self.m
+        books = np.zeros((self.m, self.ksub, dsub))
+        for r in rows:
+            if r["kind"] == "cent":
+                cents[r["i"]] = r["vec"]
+            else:
+                books[r["i"], r["j"]] = r["vec"]
+        return cents, books
+
+    def ingest(self, new_vecs: DataFrame) -> None:
+        """Encode a new batch with the frozen model and append its
+        codes — it is searchable as soon as the commit publishes."""
+        spark = new_vecs.sparkSession
+        cents, books = self._model(spark)
+        nxt = self.codes_sink.committed_batches()[-1] + 1
+        self.codes_sink.write_batch(
+            pq_encode(new_vecs, cents, books, self.id_col,
+                      self.vec_col), nxt)
+
+    def topk(self, queries: DataFrame, raw: DataFrame, k: int = 3,
+             nprobe: int = 2, rerank: int | None = 32) -> DataFrame:
+        """Top-k over everything indexed so far: the code table is
+        scanned FROM DISK (never re-derived from text/vectors);
+        ``raw`` is the lake-resident vector table used only for the
+        rerank join. rerank=None + nprobe >= n_cells is exact over the
+        indexed set."""
+        spark = queries.sparkSession
+        cents, books = self._model(spark)
+        encoded = self.codes_sink.read(spark)
+        return _ivfpq_search(queries, encoded, raw, cents, books, k,
+                             nprobe, rerank, self.id_col, self.vec_col)
 
 
 def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 8,
