@@ -64,6 +64,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _par(df: DataFrame, *keys: str) -> DataFrame:
+    """Parallelize the scan side of a compute-heavy query: the testdata
+    tables are single-file, SINGLE-ROW-GROUP parquet, so their scan is
+    one task and every scan-side expression (tokenize/shingle/md5/
+    hyperplane dot) runs on one core of local[N] — the "one huge
+    unsplittable file" input-skew case (optimization guide §2.5:
+    repartition immediately after the read). Hash-repartition on the
+    table's stable key to the session's default parallelism:
+    scale-adaptive (derived from the core count, never a constant) and
+    deterministic (keyed hash, not round-robin — no rand() in the
+    partitioner, SPARK-38388). Results are partitioning-invariant by
+    the engine's design contract; only row placement changes."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *[F.col(k) for k in keys])
+
+
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
@@ -273,19 +289,19 @@ def _q16_dedup_exact(spark, sf: str) -> DataFrame:
 
 
 def _q17_jaccard_pairs(spark, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents"), "doc_id")
     return jaccard_pairs(d, threshold=0.5)
 
 
 def _q18_minhash_sigs(spark, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents"), "doc_id")
     return minhash_signatures(d, n_bands=4).select(
         "doc_id", F.col("band").cast("bigint").alias("band"), "minhash"
     )
 
 
 def _q19_simhash(spark, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents"), "doc_id")
     return simhash(d, n_bits=16)
 
 
@@ -295,14 +311,14 @@ def _q20_cosine_pairs(spark, sf: str) -> DataFrame:
 
 
 def _q21_ann_topk(spark, sf: str) -> DataFrame:
-    e = _t(spark, sf, "embeddings")
+    e = _par(_t(spark, sf, "embeddings"), "vec_id")
     return brute_force_topk(e, k=3, n_queries=10)
 
 
 def _q22_lsh_candidates(spark, sf: str) -> DataFrame:
     from watermark_detector_spark.operators.dedup import minhash_lsh_candidates
 
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents"), "doc_id")
     return minhash_lsh_candidates(d, n_bands=4)
 
 
@@ -505,7 +521,7 @@ def _q44_lsh_ann_candidates(spark, sf: str) -> DataFrame:
     weights (deterministic blake2b-seeded hyperplanes)."""
     from watermark_detector_spark.functions.similarity import lsh_candidate_pairs
 
-    e = _t(spark, sf, "embeddings")
+    e = _par(_t(spark, sf, "embeddings"), "vec_id")
     return (
         lsh_candidate_pairs(e, dim=64, n_planes=4, n_tables=2, seed=42)
         .where(F.col("query_id") < F.col("neighbor_id"))
@@ -518,7 +534,7 @@ def _q45_near_dup_pairs(spark, sf: str) -> DataFrame:
     candidates only (operators/dedup.near_dup_pairs)."""
     from watermark_detector_spark.operators.dedup import near_dup_pairs
 
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents"), "doc_id")
     return near_dup_pairs(d, threshold=0.5)
 
 
@@ -858,7 +874,7 @@ def _q59_dedup_clusters(spark, sf: str) -> DataFrame:
         near_dup_pairs,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents"), "doc_id")
     pairs = near_dup_pairs(d, threshold=0.5)
     return dedup_clusters(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
