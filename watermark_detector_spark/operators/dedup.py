@@ -154,12 +154,16 @@ def minhash_signatures(df: DataFrame, n_bands: int = 4, id_col: str = "doc_id",
     and 32 bits is the standard MinHash width). Engine-portable: DuckDB
     replays it verbatim. Max 4 bands by construction.
 
-    Shape note (measured, do not "simplify"): explode + two-phase
-    groupBy(min) is the FAST form — md5 over exploded rows runs inside
-    whole-stage codegen and partial aggregation folds the per-(doc,
-    band) minimum map-side, so the Exchange carries only docs×bands
-    rows. The tempting zero-shuffle alternative (posexplode of
-    ``minhash_bands_col``) is ~15x SLOWER at sf0.1: nested
+    Shape note (measured, do not "simplify"): explode shingles + ONE
+    two-phase groupBy(id) carrying ``n_bands`` min aggregates is the
+    FAST form — md5 over exploded rows runs inside whole-stage codegen,
+    partial aggregation folds all band minimums map-side in a single
+    hash-agg pass (the historical explode-bands-then-group form pushed
+    docs×shingles×bands rows through the pre-agg pipeline — 4x the
+    rows for the same minimums), and the Exchange carries one row per
+    doc; the (band, minhash) fan-out happens AFTER the aggregation on
+    docs-sized data. The tempting zero-shuffle alternative (posexplode
+    of ``minhash_bands_col``) is ~15x SLOWER at sf0.1: nested
     higher-order-function md5 evaluates interpreted per array element.
     ``minhash_bands_col`` exists for the STREAMING gate, where a
     pre-aggregation shuffle is semantically unusable, not as a batch
@@ -169,18 +173,20 @@ def minhash_signatures(df: DataFrame, n_bands: int = 4, id_col: str = "doc_id",
             "minhash band family slices the 32-hex md5 digest into "
             "disjoint 8-hex band hashes — max 4 bands (got %d)" % n_bands)
     sh = shingles(df, id_col, text_col, n)
-    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-    return (
+    mins = (
         sh.select(
             id_col, F.md5(F.col("shingle").cast("binary")).alias("_h"))
-        .select(id_col, bands, "_h")
-        .select(
-            id_col,
-            "band",
-            F.col("_h").substr(F.col("band") * 8 + 1, F.lit(8)).alias("h"),
-        )
-        .groupBy(id_col, "band")
-        .agg(F.min("h").alias("minhash"))
+        .groupBy(id_col)
+        .agg(*[
+            F.min(F.col("_h").substr(F.lit(b * 8 + 1), F.lit(8))).alias(f"_m{b}")
+            for b in range(n_bands)
+        ])
+    )
+    return mins.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.col(f"_m{b}") for b in range(n_bands)])
+        ).alias("band", "minhash"),
     )
 
 
@@ -420,18 +426,23 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     DataFrame reads from that dir — consume it before deleting."""
     import os as _os
 
-    def _truncate(df: DataFrame, name: str) -> DataFrame:
+    def _truncate(df: DataFrame, name: str, eager: bool = True) -> DataFrame:
         if checkpoint_dir is None:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=eager)
         path = _os.path.join(checkpoint_dir, name)
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # STATIONARY edges (same discipline as operators/graph.pagerank):
+    # the per-round neighbor join keys on edges.dst, so hash-partition
+    # the truncated edge table by dst ONCE — every round's join then
+    # reuses this partitioning and only the (|V|-row) label vector
+    # shuffles; without it the |E|-row table reshuffles every round.
     edges = _truncate(
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct(),
+        ).distinct().repartition("dst"),
         "edges",
     )
     labels = (
@@ -441,29 +452,37 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     for i in range(max_iters):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
-            .select(edges.src.alias("node"), "lbl")
+            .select(edges.src.alias("node"), "lbl",
+                    F.lit(None).alias("_old"))
         )
+        # carry each node's incoming label as _old through the round:
+        # the convergence test then reads it off the checkpointed frame
+        # instead of re-joining against the previous labels (one join +
+        # exchange pair per round removed). Every node has exactly one
+        # self row, so max(_old) is that row's label.
         prop = (
-            labels.unionByName(nbr)
-            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+            labels.select("node", "lbl", F.col("lbl").alias("_old"))
+            .unionByName(nbr)
+            .groupBy("node").agg(F.min("lbl").alias("lbl"),
+                                 F.max("_old").alias("_old"))
         )
         # pointer jumping: follow lbl -> lbl(lbl) (labels are node ids,
         # so the lookup is a self-join; misses mean lbl is already a root)
         hop = prop.select(F.col("node").alias("_n2"), F.col("lbl").alias("_l2"))
         # truncate lineage per round; two alternating dirs in durable
         # mode (round i's target was last used by round i-2, which no
-        # live DataFrame references by the time round i writes)
+        # live DataFrame references by the time round i writes).
+        # localCheckpoint is LAZY here: the changed-count action below
+        # materializes the round in the same job (eager=True would pay
+        # a separate materialization pass per round).
         new = _truncate(
             prop.join(hop, prop.lbl == hop._n2, "left")
-            .select("node", F.coalesce("_l2", "lbl").alias("lbl")),
+            .select("node", F.coalesce("_l2", "lbl").alias("lbl"), "_old"),
             f"labels_{i % 2}",
+            eager=False,
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "_old"), "node")
-            .where(F.col("lbl") != F.col("_old"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("lbl") != F.col("_old")).count()
+        labels = new.select("node", "lbl")
         if changed == 0:
             return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
     raise RuntimeError(

@@ -83,9 +83,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             cached.unpersist()
         raise ValueError("pagerank over an empty edge list: no nodes")
     outdeg = (e.groupBy("src")
-              .agg(F.count(F.lit(1)).cast("double").alias("deg"))
-              .persist())
-    dangling = (nodes.join(outdeg, nodes.node == outdeg.src, "left_anti")
+              .agg(F.count(F.lit(1)).cast("double").alias("deg")))
+    # out-degree is a property of the STATIONARY edge table — join it in
+    # once and persist (src-partitioned), so each iteration joins the
+    # rank vector against one prepared table instead of paying a
+    # ranks ⋈ outdeg shuffle per round before meeting the edges.
+    e_deg = (e.join(outdeg, "src").repartition("src")
+             .select("src", "dst", "deg").persist())
+    dangling = (nodes.join(e_deg.select("src").distinct(),
+                           nodes.node == F.col("src"), "left_anti")
                 .persist())
     has_dangling = dangling.count() > 0
 
@@ -98,21 +104,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 dang_mass = (ranks.join(dangling, "node")
                              .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                              .first()[0])
-            share = (ranks.join(outdeg, ranks.node == outdeg.src)
-                     .select(F.col("src"),
-                             (F.col("rank") / F.col("deg")).alias("share")))
-            contrib = (e.join(share, "src")
+            contrib = (e_deg.join(ranks, e_deg.src == ranks.node)
                        .groupBy(F.col("dst").alias("node"))
-                       .agg(F.sum("share").alias("s")))
-            ranks = _truncate(
-                nodes.join(contrib, "node", "left").select(
-                    "node",
-                    (F.lit(base) + F.lit(damping)
-                     * (F.coalesce(F.col("s"), F.lit(0.0))
-                        + F.lit(dang_mass / n))).alias("rank")),
-                f"ranks_{i % 2}",
-            )
+                       .agg(F.sum(F.col("rank") / F.col("deg")).alias("s")))
+            new_ranks = nodes.join(contrib, "node", "left").select(
+                "node",
+                (F.lit(base) + F.lit(damping)
+                 * (F.coalesce(F.col("s"), F.lit(0.0))
+                    + F.lit(dang_mass / n))).alias("rank"))
+            if has_dangling or i == n_iters - 1:
+                # with dangling nodes every round is materialized anyway
+                # (the dang_mass scalar); without them the rank vector is
+                # referenced exactly once per round, so the plan grows
+                # LINEARLY — chain the rounds lazily and truncate once at
+                # the end (one materialization job instead of one per
+                # round; identical arithmetic).
+                ranks = _truncate(new_ranks, f"ranks_{i % 2}")
+            else:
+                ranks = new_ranks
         return ranks
     finally:
-        for cached in (e, nodes, outdeg, dangling):
+        for cached in (e, nodes, e_deg, dangling):
             cached.unpersist()
