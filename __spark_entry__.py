@@ -56,12 +56,29 @@ from watermark_detector_spark.operators.dedup import (
 # ---------------------------------------------------------------------------
 
 
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table, memoizing the PLAN object per (session,
+    dir, table). spark.read.parquet costs ~0.1 s of driver-side footer/
+    schema work per call (more under load) and several queries read 2-3
+    tables — the cached DataFrame is an immutable logical plan, so
+    reuse changes nothing about execution: every action still computes
+    from the parquet files (this is plan reuse, NOT result caching —
+    no .cache()/persist anywhere near it)."""
     try:  # timestamp rendering must match the UTC-based DuckDB oracle
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
-        pass
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _T_CACHE[key] = df
+    return df
 
 
 def _par(df: DataFrame, *keys: str) -> DataFrame:
@@ -892,7 +909,7 @@ def _q70_quality_rules(spark, sf: str) -> DataFrame:
     quality-gating role of train_watermarks.py:311's score threshold."""
     from watermark_detector_spark.functions.text import gopher_quality
 
-    d = _t(spark, sf, "documents").select(
+    d = _par(_t(spark, sf, "documents"), "doc_id").select(
         "doc_id",
         F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("text"),
     )

@@ -203,6 +203,12 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
         symbol_word_ratio(text).alias("symbol_ratio"),
         mean_word_length(text).alias("mean_word_len"),
     )
+    # Measured note (r8): fusing the three n-gram passes into one
+    # tagged explode (array-of-structs over a flatten of per-n
+    # transforms) was tried and REVERTED — the nested higher-order
+    # struct expression evaluates interpreted and cost ~7x more than
+    # three codegen'd posexplode passes when all columns are
+    # materialized. Three cheap scans beat one expensive one here.
     for n in (2, 3, 5):
         base = base.join(ngram_stats(df, n, id_col, text_col), id_col, "left")
     zeroed = [F.coalesce(F.col(c), F.lit(0.0)).alias(c)

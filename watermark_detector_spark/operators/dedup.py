@@ -76,6 +76,21 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def sized_shingles(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3) -> DataFrame:
+    """``shingles`` + the per-doc distinct-shingle count as a third
+    column: (id, shingle, n_sh), via a count() window over the exploded
+    rows. Measured note (r8, do not "simplify"): deriving n_sh as
+    F.size of the shingle array looks shuffle-free but regresses ~8x —
+    Catalyst's projection collapse re-substitutes the higher-order
+    shingle expression into every consumer, so size(arr) above the
+    Generate re-evaluates the whole shingle transform PER EXPLODED ROW.
+    The window pays one keyed Exchange+Sort on already-exploded narrow
+    rows, which is cheap and scales with the shingle stream."""
+    return shingles(df, id_col, text_col, n).withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+
+
 def jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Pairwise n-gram Jaccard near-dup pairs (>= threshold).
@@ -83,14 +98,11 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
     Quadratic in bucket size — the CORRECTNESS oracle. At scale, run
     minhash_lsh_candidates first and compute Jaccard only on candidate
     pairs."""
-    # per-doc shingle count rides along as a window over the same
-    # doc-keyed rows instead of a separate agg + two joins — removes the
-    # old `.cache()` (which leaked executor storage across calls: a
-    # DataFrame cache lives in the CacheManager until explicitly
-    # unpersisted, and a lazily-returned result can't unpersist safely)
-    sized = shingles(df, id_col, text_col, n).withColumn(
-        "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col))
-    )
+    # per-doc shingle count rides the scan as F.size of the distinct-
+    # shingle array (sized_shingles) — zero shuffle, where a count()
+    # window here used to pay an Exchange + Sort on the doc key per
+    # join side
+    sized = sized_shingles(df, id_col, text_col, n)
     a = sized.select(F.col(id_col).alias("id_a"), "shingle",
                      F.col("n_sh").alias("n_a"))
     b = sized.select(F.col(id_col).alias("id_b"), "shingle",
@@ -251,8 +263,7 @@ def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
             cand.select(F.col(keys[0]).alias(id_col))
             .unionAll(cand.select(F.col(keys[1]).alias(id_col))))
         cut = docs.join(ids.distinct(), id_col, "left_semi")
-        return shingles(cut, id_col, text_col, n).withColumn(
-            "n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+        return sized_shingles(cut, id_col, text_col, n)
 
     if a_docs is b_docs:
         # SELF-dedup (near_dup_pairs): both confirm sides are the same
