@@ -694,6 +694,33 @@ def test_dedup_clusters_connected_components(spark):
     assert dedup_clusters(empty).count() == 0
 
 
+def test_dedup_clusters_driver_path_equals_distributed(spark):
+    """The small-graph union-find fast path (r8 optimization) must be
+    byte-identical to the distributed pointer-jumping path on the same
+    pair set — chains, triangles, merged components, shuffled edge
+    order — and the probe threshold boundary must route correctly."""
+    import random
+
+    from watermark_detector_spark.operators.dedup import dedup_clusters
+
+    rnd = random.Random(7)
+    pairs = [(i, i + 1) for i in range(0, 50)]            # one long chain
+    pairs += [(100 + rnd.randrange(40), 100 + rnd.randrange(40))
+              for _ in range(60)]                          # random clumps
+    pairs = [(a, b) for a, b in pairs if a != b]
+    rnd.shuffle(pairs)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    fast = sorted(map(tuple, dedup_clusters(df).collect()))
+    dist = sorted(map(tuple,
+                      dedup_clusters(df, driver_max_edges=0).collect()))
+    assert fast == dist and len(fast) > 0
+    # a graph LARGER than the probe cap must take the distributed path
+    # and still agree
+    over = sorted(map(tuple,
+                      dedup_clusters(df, driver_max_edges=5).collect()))
+    assert over == fast
+
+
 def test_curate_job_funnel(spark):
     """End-to-end curation composition (jobs/curate.curate): gates drop
     what they must, exact dups collapse to min-id keepers, near-dup
@@ -1084,8 +1111,12 @@ def test_dedup_clusters_reliable_checkpoint_mode(spark, tmp_path):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 164)], "id_a long, id_b long")
     ckpt = str(tmp_path / "cc_ckpt")
+    # driver_max_edges=0: durable checkpointing is a property of the
+    # ITERATIVE path — force it (the small-graph fast path never writes
+    # round state)
     durable = {r["node"]: r["cluster_id"]
-               for r in dedup_clusters(chain, checkpoint_dir=ckpt).collect()}
+               for r in dedup_clusters(chain, checkpoint_dir=ckpt,
+                                       driver_max_edges=0).collect()}
     default = {r["node"]: r["cluster_id"]
                for r in dedup_clusters(chain).collect()}
     assert durable == default

@@ -168,7 +168,11 @@ def test_dedup_clusters_plan_is_keyed_joins_only(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)],
         "id_a long, id_b long")
-    out = dedup_clusters(pairs)
+    # driver_max_edges=0 forces the distributed pointer-jumping path —
+    # this test pins ITS plan shape (the small-graph union-find fast
+    # path has no plan to pin; its equivalence is tested in
+    # test_operators.py)
+    out = dedup_clusters(pairs, driver_max_edges=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

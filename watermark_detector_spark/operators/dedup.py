@@ -405,7 +405,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    max_iters: int = 25,
-                   checkpoint_dir: str | None = None) -> DataFrame:
+                   checkpoint_dir: str | None = None,
+                   driver_max_edges: int = 1_000_000) -> DataFrame:
     """Connected components over near-dup pairs → (node, cluster_id),
     cluster_id = min doc id in the component. This is the missing third
     stage of production dedup: candidate PAIRS (LSH) → exact scores →
@@ -427,6 +428,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     Raises after ``max_iters`` non-converged rounds (25 covers a
     diameter of ~2^25 via doubling) rather than returning wrong labels.
 
+    Small graphs (≤ ``driver_max_edges`` edges, probed with a bounded
+    LIMIT collect) skip the iteration entirely: driver-side union-find
+    with the same min-label semantics, byte-identical output. Near-dup
+    pair sets are the duplicates, not the corpus — at the default 10^6
+    cap the probe is ≤ ~32 MB and replaces O(log d) multi-stage rounds
+    with one job. Set ``driver_max_edges=0`` to force the distributed
+    path.
+
     Durability trade-off: the default localCheckpoint stores round
     state as executor-local blocks — fastest, but a lost executor
     (preemptible/spot node at 100x scale) kills the job mid-iteration.
@@ -436,6 +445,53 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     loss, at the cost of one materialization per round. The returned
     DataFrame reads from that dir — consume it before deleting."""
     import os as _os
+
+    # Small-graph fast path: near-dup pair sets are usually orders of
+    # magnitude smaller than the corpus (they are the DUPLICATES), and
+    # each distributed label-propagation round costs several scheduled
+    # stages — pure fixed overhead when the whole graph fits in one
+    # bounded driver read. Collect at most ``driver_max_edges`` + 1
+    # edges in ONE pass (a LIMIT probe, never an unbounded collect —
+    # ≤ ~32 MB at the default) and run union-find with min-label
+    # semantics; identical output to the iterative path (cluster_id =
+    # min node id of the component). Over the limit, nothing was
+    # assumed: fall through to pointer jumping. ``driver_max_edges=0``
+    # forces the distributed path (plan tests pin its shape).
+    if driver_max_edges > 0:
+        probe = (pairs.select(F.col(id_a).alias("src"),
+                              F.col(id_b).alias("dst"))
+                 .limit(driver_max_edges + 1).collect())
+        if len(probe) <= driver_max_edges:
+            parent: dict = {}
+
+            def _find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in probe:
+                a, b = row[0], row[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    # min-label union: the smaller id becomes the root,
+                    # so every component's root is its min node id
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out = [(n, _find(n)) for n in parent]
+            node_t = pairs.schema[id_a].dataType
+            spark = pairs.sparkSession
+            from pyspark.sql import types as _T
+            schema = _T.StructType([
+                _T.StructField("node", node_t, False),
+                _T.StructField("cluster_id", node_t, False),
+            ])
+            return spark.createDataFrame(out, schema)
 
     def _truncate(df: DataFrame, name: str, eager: bool = True) -> DataFrame:
         if checkpoint_dir is None:
