@@ -46,6 +46,60 @@ def test_extract_handles_entities_and_fallback():
     assert extract_text_from_html(None) is None
 
 
+def test_extract_find_based_equals_regex_reference():
+    """r8 optimization pin: the str.find-based <main>/<body> content
+    extraction and the '&'-gated unescape must stay byte-identical to
+    the historical regex reference on adversarial tag layouts (prefix
+    tags, decoy closers, missing closers, multiple blocks, entities,
+    invalid utf-8)."""
+    import re
+
+    import pandas as pd
+
+    from watermark_detector_spark.functions.core import _ESCAPES
+    from watermark_detector_spark.functions.extract import (
+        _BODY_RX,
+        _DROP_RX,
+        _MAIN_RX,
+        _TAG_RX,
+        extract_series,
+    )
+
+    def ref(html: pd.Series) -> pd.Series:
+        s = html.map(
+            lambda b: b.decode("utf-8", "replace") if b is not None else None)
+        s = pd.Series(s, index=html.index, dtype="object")
+        main = s.str.extract(_MAIN_RX, flags=re.S, expand=False)
+        no_main = main.isna() & s.notna()
+        if no_main.any():
+            body = s[no_main].str.extract(_BODY_RX, flags=re.S, expand=False)
+            body = body.fillna(s[no_main])
+            body = body.str.replace(_DROP_RX, " ", regex=True,
+                                    flags=re.S | re.I)
+            main = main.copy()
+            main[no_main] = body
+        out = main.str.replace(_TAG_RX, "", regex=True)
+        for raw, esc in reversed(_ESCAPES):
+            out = out.str.replace(esc, raw, regex=False)
+        return out.str.strip()
+
+    cases = pd.Series([
+        None, b"", b"<main>x</main>", b"<mainframe>y</mainframe>",
+        b"<main a<main b>X</main>", b"<main >A</main><main>B</main>",
+        b"<main no close", b"<main a>no close tag",
+        b"<main a>x</main2> rest </main>",
+        b"<body><script>s</script>T</body>",
+        b"plain text no tags &amp; &lt;x&gt;",
+        b"<main>&amp;lt; &quot;q&#39;</main>",
+        b"\xff\xfe<main>bad utf</main>", b"<MAIN>case</MAIN>",
+        b"<main>line1\nline2\n</main>",
+    ] + [render_html(f"https://x.example.com/p/{i}", i,
+                     gen_doc(i, CFG, DOMAINS)["text"], "en")
+         for i in range(10)])
+    a, b = ref(cases), extract_series(cases)
+    assert (a.fillna("\0") == b.fillna("\0")).all()
+
+
 def test_detect_matches_construction_goldens():
     """Detector output == splice-log golden for every doc (the detector
     and the golden generator are independent implementations)."""

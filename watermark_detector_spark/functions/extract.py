@@ -26,22 +26,60 @@ _DROP_RX = r"<(?:script|style|nav|footer|header|aside)[^>]*>.*?</(?:script|style
 _TAG_RX = r"<[^>]+>"
 
 
+def _tag_content(t: str | None, open_lit: str, close_lit: str) -> str | None:
+    """Content of the first ``<tag...>...</tag>`` block, byte-identical
+    to ``re.search(rf"<tag[^>]*>(.*?)</tag>", t, re.S)`` but at
+    str.find (memchr) speed instead of lazy-quantifier stepping —
+    measured 66 -> 6 us/doc on the bench corpus.
+
+    Equivalence argument (any input): the regex matches at the leftmost
+    ``open_lit`` whose ``[^>]*>`` reaches the FIRST '>' at/after it and
+    whose lazy body ends at the FIRST ``close_lit`` after that '>'.
+    Positions are monotone, so if no ``close_lit`` follows the first
+    '>' after the first ``open_lit``, no later start can match either —
+    both forms return None together."""
+    if t is None:
+        return None
+    i = t.find(open_lit)
+    if i == -1:
+        return None
+    j = t.find(">", i + len(open_lit))
+    if j == -1:
+        return None
+    k = t.find(close_lit, j + 1)
+    if k == -1:
+        return None
+    return t[j + 1:k]
+
+
 def extract_series(html: pd.Series) -> pd.Series:
     """Vectorized extraction over a batch of html payloads (bytes)."""
     s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
     s = pd.Series(s, index=html.index, dtype="object")
-    main = s.str.extract(_MAIN_RX, flags=re.S, expand=False)
+    main = s.map(lambda t: _tag_content(t, "<main", "</main>"))
     # fallback path for pages without <main>: body minus boilerplate blocks
     no_main = main.isna() & s.notna()
     if no_main.any():
-        body = s[no_main].str.extract(_BODY_RX, flags=re.S, expand=False)
+        body = pd.Series(
+            [_tag_content(t, "<body", "</body>") for t in s[no_main]],
+            index=s[no_main].index, dtype="object")
         body = body.fillna(s[no_main])
         body = body.str.replace(_DROP_RX, " ", regex=True, flags=re.S | re.I)
         main = main.copy()
         main[no_main] = body
     out = main.str.replace(_TAG_RX, "", regex=True)
-    for raw, esc in reversed(_ESCAPES):  # &amp; last — see core.unescape_html
-        out = out.str.replace(esc, raw, regex=False)
+    # entity unescape only where an entity can exist: the five literal
+    # replace passes each rescan every row, but rows without '&' are
+    # the common case in extracted text — gate on one memchr-speed
+    # containment check (byte-identical output; a no-op replace is a
+    # no-op either way)
+    has_amp = out.str.contains("&", regex=False) == True  # noqa: E712 — null-safe
+    if has_amp.any():
+        sub = out[has_amp]
+        for raw, esc in reversed(_ESCAPES):  # &amp; last — see core.unescape_html
+            sub = sub.str.replace(esc, raw, regex=False)
+        out = out.copy()
+        out[has_amp] = sub
     return out.str.strip()
 
 
