@@ -72,24 +72,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 
-    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .repartition("src").persist())
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
-             .distinct().persist())
-    n = nodes.count()  # one scalar; also materializes the persists
-    if n == 0:
-        for cached in (e, nodes):
-            cached.unpersist()
-        raise ValueError("pagerank over an empty edge list: no nodes")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = (e.groupBy("src")
               .agg(F.count(F.lit(1)).cast("double").alias("deg")))
     # out-degree is a property of the STATIONARY edge table — join it in
-    # once and persist (src-partitioned), so each iteration joins the
-    # rank vector against one prepared table instead of paying a
-    # ranks ⋈ outdeg shuffle per round before meeting the edges.
+    # once and persist (src-partitioned): each iteration joins the rank
+    # vector against ONE prepared table (no ranks ⋈ outdeg shuffle per
+    # round), and e_deg is the only persisted copy of the edges (the
+    # historical separate src-partitioned edge persist was a second
+    # materialization of |E| rows for no per-round benefit).
     e_deg = (e.join(outdeg, "src").repartition("src")
              .select("src", "dst", "deg").persist())
+    nodes = (e_deg.select(F.col("src").alias("node"))
+             .union(e_deg.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n = nodes.count()  # one scalar; also materializes the persists
+    if n == 0:
+        for cached in (e_deg, nodes):
+            cached.unpersist()
+        raise ValueError("pagerank over an empty edge list: no nodes")
     dangling = (nodes.join(e_deg.select("src").distinct(),
                            nodes.node == F.col("src"), "left_anti")
                 .persist())
@@ -124,5 +125,5 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 ranks = new_ranks
         return ranks
     finally:
-        for cached in (e, nodes, e_deg, dangling):
+        for cached in (nodes, e_deg, dangling):
             cached.unpersist()
