@@ -617,8 +617,10 @@ def test_dedup_queries_leave_no_cached_storage(spark):
     nd = near_dup_pairs(docs, threshold=0.3)
     nd.collect()
     held = persistent_ids() - before
-    # self-dedup pins cand + the shared sized-shingle table, nothing else
-    assert len(held) <= 2, f"near_dup_pairs pinned more than cand+sz: {held}"
+    # self-dedup pins cand + the shared sized-shingle table + the LSH
+    # signature table (r8: persisted so the banded self-join does not
+    # shingle the corpus twice), nothing else — all finalizer-released
+    assert len(held) <= 3, f"near_dup_pairs pinned more than cand+sz+sig: {held}"
     del nd
     gc.collect()
     deadline = _time.time() + 30

@@ -205,16 +205,26 @@ def minhash_signatures(df: DataFrame, n_bands: int = 4, id_col: str = "doc_id",
 def minhash_lsh_candidates(df: DataFrame, n_bands: int = 4, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3) -> DataFrame:
     """LSH candidate pairs: docs sharing any band minimum. Linear scan +
-    one shuffle on (band, minhash) — the 100 TB near-dup path."""
-    sig = minhash_signatures(df, n_bands, id_col, text_col, n)
+    one shuffle on (band, minhash) — the 100 TB near-dup path.
+
+    The signature table feeds BOTH sides of the self-join and
+    ReuseExchange does not recognize the aliased subtrees as one, so it
+    is persisted (lazily — no extra job: the join's first stage
+    populates the cache, the second side reads it) rather than
+    re-shingling the corpus twice. A few tens of bytes per doc,
+    spill-safe, released by a finalizer when the result is dropped —
+    same lifecycle discipline as ``_jaccard_confirm``."""
+    sig = minhash_signatures(df, n_bands, id_col, text_col, n).persist()
     a = sig.select(F.col(id_col).alias("id_a"), "band", "minhash")
     b = sig.select(F.col(id_col).alias("id_b"), "band", "minhash")
-    return (
+    out = (
         a.join(b, ["band", "minhash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    weakref.finalize(out, _unpersist_quietly, sig)
+    return out
 
 
 def _jaccard_confirm(cand: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
