@@ -603,7 +603,9 @@ def test_dedup_queries_leave_no_cached_storage(spark):
 
     # delta-based: the shared test session may hold localCheckpoint RDDs
     # from earlier tests (released by GC, not by unpersist) — the claim:
-    # jaccard_pairs pins NOTHING; near_dup_pairs pins exactly its
+    # jaccard_pairs pins NOTHING (a persist of its exploded sized-
+    # shingle table was measured WORSE in r8 — see the operator
+    # docstring); near_dup_pairs pins exactly its
     # candidate localCheckpoint (tiny, by design — the q45 plan pin)
     # for the LIFETIME OF THE RETURNED DATAFRAME, and the ContextCleaner
     # releases it once the result is garbage-collected — never a

@@ -97,11 +97,16 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
 
     Quadratic in bucket size — the CORRECTNESS oracle. At scale, run
     minhash_lsh_candidates first and compute Jaccard only on candidate
-    pairs."""
-    # per-doc shingle count rides the scan as F.size of the distinct-
-    # shingle array (sized_shingles) — zero shuffle, where a count()
-    # window here used to pay an Exchange + Sort on the doc key per
-    # join side
+    pairs.
+
+    Measured note (r8, do not "optimize"): the sized-shingle table
+    feeds both sides of the self-join as two separate subtrees (no
+    ReuseExchange), but a lazy ``.persist()`` of it — the pattern that
+    wins for ``minhash_lsh_candidates``'s 1-row/doc signature table —
+    measured ~0.5 s WORSE here (interleaved noop A/B, median of 7):
+    the cache holds the EXPLODED shingle stream, so the cache
+    write+read overhead exceeds the saved second tokenize/shingle/
+    window pass. Two passes stay the cheaper shape."""
     sized = sized_shingles(df, id_col, text_col, n)
     a = sized.select(F.col(id_col).alias("id_a"), "shingle",
                      F.col("n_sh").alias("n_a"))
